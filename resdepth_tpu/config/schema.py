@@ -1,0 +1,107 @@
+"""Config key registry and enumerations of valid values.
+
+Functional parity with /root/reference/lib/arguments.py:1-59 — the allowed
+keys per config section for training and inference, plus the enumerations of
+valid architectures, optimizers, schedulers, losses, activations,
+input-channel modes, and allocation strategies. The TPU build adds a few
+framework-native knobs (precision, mesh, pallas) in their own sections.
+"""
+
+# ------------------------------- Training ------------------------------- #
+
+PRIMARY_KEYS = [
+    "datasets", "model", "multiview", "stereopair_settings", "training_settings",
+    "optimizer", "scheduler", "general", "output",
+    # TPU-native extensions
+    "tpu",
+]
+
+PRIMARY_KEYS_MANDATORY = ["datasets", "output"]
+
+DATASET_KEYS_MANDATORY_train = ["raster_gt", "raster_in", "area_type"]
+DATASET_KEYS_OPTIONAL = [
+    "name", "path_image_list", "path_pairlist_training", "path_pairlist_validation",
+    "n_training_samples", "allocation_strategy", "test_stripe", "crossval_training",
+]
+
+MODEL_KEYS = [
+    "name", "input_channels", "depth", "start_kernel", "act_fn_encoder",
+    "act_fn_decoder", "act_fn_bottleneck", "up_mode", "do_BN", "bias_conv_layer",
+    "outer_skip", "outer_skip_BN", "pretrained_path",
+    # TPU-native extension: configurable filter-width cap (fixed at 512 in the
+    # reference, /root/reference/lib/UNet.py:152-155).
+    "max_filter_depth",
+]
+
+MULTIVIEW_KEYS = ["config"]
+
+STEREO_KEYS = ["use_all_stereo_pairs", "permute_images_within_pair"]
+
+TRAINING_KEYS = ["n_training_samples", "tile_size", "augment", "loss", "batch_size", "n_epochs"]
+
+OPTIMIZER_KEYS = ["name", "learning_rate", "weight_decay"]
+
+SCHEDULER_KEYS = ["enabled", "name", "settings"]
+
+GENERAL_KEYS = [
+    "allocation_strategy", "test_stripe", "workers", "random_seed",
+    "save_model_rate", "evaluate_rate",
+]
+
+OUTPUT_KEYS = ["output_directory", "tboard_log_dir", "suffix", "plot_model_txt"]
+
+TPU_KEYS = [
+    "compute_dtype",        # 'float32' | 'bfloat16' — model compute precision
+    "data_parallel",        # bool — shard batches over the device mesh
+    "mesh_axis",            # name of the data-parallel mesh axis
+    "use_pallas",           # bool — enable fused Pallas kernels where available
+    "prefetch_depth",       # host→device pipeline depth
+    "profile_dir",          # jax.profiler trace output directory ('' = off)
+    "donate_state",         # donate train-state buffers in the jitted step
+]
+
+# ------------------------------- Inference ------------------------------ #
+
+PRIMARY_KEYS_eval = ["datasets", "model", "general", "output"]
+
+DATASET_KEYS_MANDATORY_eval = ["raster_in"]
+DATASET_KEYS_OPTIONAL_eval = [
+    "name", "raster_gt", "path_image_list", "path_pairlist", "mask_ground_truth",
+    "mask_building", "mask_water", "mask_forest", "allocation_strategy",
+    "test_stripe", "area_type", "crossval_training",
+]
+MODEL_KEYS_eval = ["weights", "architecture", "normalization_geom", "normalization_image"]
+GENERAL_KEYS_eval = ["tile_size", "workers", "batch_size", "compute_dtype"]
+OUTPUT_KEYS_eval = ["directory"]
+
+# ------------------------------ Valid values ---------------------------- #
+
+DATASET_AREA_TYPES = ["train", "val", "train+val"]
+DATASET_AREA_TYPES_eval = ["train", "val", "test"]
+INPUT_CHANNELS = ["geom-multiview", "geom-stereo", "geom-mono", "stereo", "geom"]
+MULTIVIEW_CONFIG = ["3-view", "4-view", "5-view"]
+OPTIMIZERS = ["Adam", "SGD"]
+SCHEDULERS = ["ReduceLROnPlateau", "StepLR", "ExponentialLR"]
+LOSSES = ["L1"]
+ARCHITECTURES = ["UNet"]
+ACTIVATION_FUNCTIONS = ["relu", "lrelu", "prelu"]
+UPSAMPLING_MODES = ["transpose", "bilinear"]
+ALLOCATION_STRATEGIES = ["5-crossval_vertical", "5-crossval_horizontal", "entire"]
+COMPUTE_DTYPES = ["float32", "bfloat16"]
+
+
+def count_input_channels(input_channels: str, multiview_config: str = "3-view") -> int:
+    """Number of network input channels for a channel mode.
+
+    Parity with /root/reference/lib/utils.py:758-779.
+    """
+    if input_channels == "geom":
+        return 1
+    if input_channels in ("stereo", "geom-mono"):
+        return 2
+    if input_channels == "geom-stereo":
+        return 3
+    if input_channels == "geom-multiview":
+        num_views = int("".join(ch for ch in multiview_config if ch.isdigit()))
+        return num_views + 1
+    raise ValueError(f"Unknown input channel configuration: {input_channels!r}")

@@ -1,0 +1,177 @@
+"""Config layer: defaults, merge, schema validation, dataset augmentation."""
+
+import logging
+
+import numpy as np
+import pytest
+
+from resdepth_tpu.config import default_cfg, io, schema
+from resdepth_tpu.config import validate_train, validate_infer
+from resdepth_tpu.utils.attrdict import AttrDict
+
+logger = logging.getLogger("test_config")
+logger.addHandler(logging.NullHandler())
+
+
+def test_attrdict_access_and_nesting():
+    d = AttrDict({"a": {"b": 1}, "c": [{"d": 2}]})
+    assert d.a.b == 1
+    assert d.c[0].d == 2
+    d.a.e = {"f": 3}
+    assert d["a"]["e"].f == 3
+    copy = d.copy()
+    copy.a.b = 99
+    assert d.a.b == 1
+
+
+def test_default_cfg_sections():
+    cfg = default_cfg()
+    for section in ("model", "multiview", "stereopair_settings", "training_settings",
+                    "optimizer", "scheduler", "general", "output", "tpu"):
+        assert section in cfg
+    assert cfg.model.depth == 5
+    assert cfg.model.start_kernel == 64
+    assert cfg.training_settings.tile_size == 256
+    assert cfg.training_settings.batch_size == 20
+    assert cfg.optimizer.learning_rate == 2e-4
+    assert cfg.general.test_stripe == 0
+
+
+def test_merge_recursive_user_wins():
+    base = {"a": {"x": 1, "y": 2}, "b": 3}
+    user = {"a": {"y": 20, "z": 30}, "c": 4}
+    merged = io.merge(base, user)
+    assert merged.a.x == 1 and merged.a.y == 20 and merged.a.z == 30
+    assert merged.b == 3 and merged.c == 4
+    user["a"]["y"] = -1  # merge must deep-copy
+    assert merged.a.y == 20
+
+
+def test_remove_obsolete_keys():
+    cfg = io.merge(default_cfg(), {"model": {"input_channels": "geom"}})
+    io.remove_obsolete_keys(cfg)
+    assert "multiview" not in cfg
+    cfg = io.merge(default_cfg(), {"model": {"input_channels": "geom-multiview"}})
+    io.remove_obsolete_keys(cfg)
+    assert "multiview" in cfg
+
+
+def _minimal_train_cfg(make_geotiff, tmp_path):
+    raster = make_geotiff("dsm.tif", np.zeros((64, 64), np.float32))
+    gt = make_geotiff("gt.tif", np.zeros((64, 64), np.float32))
+    return AttrDict({
+        "datasets": [{
+            "raster_in": raster, "raster_gt": gt, "area_type": "train+val",
+            "allocation_strategy": "5-crossval_vertical", "test_stripe": 1,
+        }],
+        "model": {"input_channels": "geom", "depth": 2},
+        "training_settings": {"tile_size": 16, "batch_size": 2, "n_epochs": 1},
+        "output": {"output_directory": str(tmp_path / "out")},
+    })
+
+
+def test_validate_train_accepts_minimal(make_geotiff, tmp_path):
+    cfg = _minimal_train_cfg(make_geotiff, tmp_path)
+    assert validate_train.validate_cfg_file(cfg, logger) is True
+
+
+def test_validate_train_rejects_unknown_primary_key(make_geotiff, tmp_path):
+    cfg = _minimal_train_cfg(make_geotiff, tmp_path)
+    cfg["bogus_section"] = {}
+    assert validate_train.validate_cfg_file(cfg, logger) is False
+
+
+def test_validate_train_rejects_bad_enum(make_geotiff, tmp_path):
+    cfg = _minimal_train_cfg(make_geotiff, tmp_path)
+    cfg.optimizer = {"name": "AdamW"}
+    assert validate_train.validate_cfg_file(cfg, logger) is False
+
+
+def test_validate_train_rejects_bad_tile_size(make_geotiff, tmp_path):
+    cfg = _minimal_train_cfg(make_geotiff, tmp_path)
+    cfg.training_settings.tile_size = 100
+    assert validate_train.validate_cfg_file(cfg, logger) is False
+    # tile must also satisfy 2^(depth+2): depth=5 default requires >= 128
+    cfg = _minimal_train_cfg(make_geotiff, tmp_path)
+    cfg.model.depth = 5
+    cfg.training_settings.tile_size = 64
+    assert validate_train.validate_cfg_file(cfg, logger) is False
+
+
+def test_validate_train_rejects_missing_raster(make_geotiff, tmp_path):
+    cfg = _minimal_train_cfg(make_geotiff, tmp_path)
+    cfg.datasets[0].raster_in = str(tmp_path / "missing.tif")
+    assert validate_train.validate_cfg_file(cfg, logger) is False
+
+
+def test_validate_train_rejects_outer_skip_with_stereo_only(make_geotiff, tmp_path):
+    cfg = _minimal_train_cfg(make_geotiff, tmp_path)
+    cfg.model.input_channels = "stereo"
+    cfg.model.outer_skip = True
+    assert validate_train.validate_cfg_file(cfg, logger) is False
+
+
+def test_augment_dataset_args(make_geotiff, tmp_path):
+    cfg = _minimal_train_cfg(make_geotiff, tmp_path)
+    del cfg.datasets[0]["test_stripe"]
+    del cfg.datasets[0]["allocation_strategy"]
+    cfg.general = AttrDict(test_stripe=3)
+    validate_train.augment_dataset_args(cfg)
+    ds = cfg.datasets[0]
+    assert ds.test_stripe == 3                        # from user general section
+    assert ds.allocation_strategy == "5-crossval_vertical"  # from defaults
+    assert ds.n_training_samples == 20000             # from defaults
+
+    # 'entire' datasets must not receive a test_stripe
+    cfg2 = _minimal_train_cfg(make_geotiff, tmp_path)
+    del cfg2.datasets[0]["test_stripe"]
+    cfg2.datasets[0].allocation_strategy = "entire"
+    validate_train.augment_dataset_args(cfg2)
+    assert "test_stripe" not in cfg2.datasets[0]
+
+
+def test_count_input_channels():
+    assert schema.count_input_channels("geom") == 1
+    assert schema.count_input_channels("stereo") == 2
+    assert schema.count_input_channels("geom-mono") == 2
+    assert schema.count_input_channels("geom-stereo") == 3
+    assert schema.count_input_channels("geom-multiview", "4-view") == 5
+
+
+def test_validate_infer_merges_architecture(make_geotiff, tmp_path):
+    raster = make_geotiff("dsm.tif", np.zeros((64, 64), np.float32))
+    arch = {"name": "UNet", "input_channels": "geom",
+            "settings": {"n_input_channels": 1, "depth": 2, "start_kernel": 4}}
+    arch_path = str(tmp_path / "model_config.json")
+    io.write_json(arch, arch_path)
+    weights_path = str(tmp_path / "weights.npz")
+    np.savez(weights_path, dummy=np.zeros(1))
+    norm_path = str(tmp_path / "norm.json")
+    io.write_json({"mean": None, "std": 1.0}, norm_path)
+
+    cfg = {
+        "datasets": [{"raster_in": raster}],
+        "model": {"weights": weights_path, "architecture": arch_path,
+                  "normalization_geom": norm_path},
+        "general": {"tile_size": 16},
+        "output": {"directory": str(tmp_path / "eval_out")},
+    }
+    result = validate_infer.validate_and_update_cfg_file(cfg, logger)
+    assert result.status is True
+    assert result.cfg.model.input_channels == "geom"
+    assert result.cfg.model.settings.depth == 2
+    # allocation defaults to 'entire' when unspecified
+    assert result.cfg.datasets[0].allocation_strategy == "entire"
+
+
+def test_validate_infer_rejects_missing_weights(make_geotiff, tmp_path):
+    raster = make_geotiff("dsm.tif", np.zeros((64, 64), np.float32))
+    cfg = {
+        "datasets": [{"raster_in": raster}],
+        "model": {"weights": str(tmp_path / "nope.npz"),
+                  "architecture": str(tmp_path / "nope.json")},
+        "general": {},
+        "output": {"directory": str(tmp_path / "eval_out")},
+    }
+    result = validate_infer.validate_and_update_cfg_file(cfg, logger)
+    assert result.status is False

@@ -1,0 +1,216 @@
+"""Geo layer: TIFF codec round-trips, extents, grids, allocation, masks."""
+
+import numpy as np
+import pytest
+from scipy import ndimage
+
+from resdepth_tpu.geo import allocation, grid, raster, tiff
+
+
+# ------------------------------- TIFF codec ------------------------------- #
+
+@pytest.mark.parametrize("compress", ["none", "deflate", "lzw"])
+@pytest.mark.parametrize("dtype", [np.float32, np.uint8, np.int16, np.uint16, np.float64])
+def test_tiff_roundtrip(tmp_path, compress, dtype):
+    rng = np.random.default_rng(0)
+    if np.issubdtype(dtype, np.floating):
+        data = rng.normal(400.0, 30.0, (37, 53)).astype(dtype)
+    else:
+        data = rng.integers(0, np.iinfo(dtype).max, (37, 53)).astype(dtype)
+    path = str(tmp_path / f"rt_{compress}_{np.dtype(dtype).name}.tif")
+    gt = (465000.0, 0.25, 0.0, 5247000.0, 0.0, -0.25)
+    tiff.write(path, data, geotransform=gt, nodata=-9999.0, compress=compress)
+
+    out, info = tiff.read(path)
+    np.testing.assert_array_equal(out, data)
+    assert info.nodata == -9999.0
+    np.testing.assert_allclose(info.geotransform, gt)
+
+
+def test_tiff_multiband_roundtrip(tmp_path):
+    data = np.random.default_rng(1).normal(size=(20, 30, 3)).astype(np.float32)
+    path = str(tmp_path / "mb.tif")
+    tiff.write(path, data, compress="deflate")
+    out, info = tiff.read(path)
+    assert out.shape == (20, 30, 3)
+    np.testing.assert_array_equal(out, data)
+
+
+def test_tiff_multistrip(tmp_path):
+    # Force multiple strips: > 1 MiB of data
+    data = np.arange(600 * 600, dtype=np.float32).reshape(600, 600)
+    path = str(tmp_path / "big.tif")
+    tiff.write(path, data, compress="deflate")
+    out, _ = tiff.read(path)
+    np.testing.assert_array_equal(out, data)
+
+
+def test_lzw_codec_pure():
+    rng = np.random.default_rng(2)
+    payload = rng.integers(0, 8, 5000).astype(np.uint8).tobytes() + b"\x00" * 1000
+    encoded = tiff._lzw_encode(payload)
+    assert tiff._lzw_decode_py(encoded) == payload
+
+
+def test_raster_extent_matches_reference_convention(make_geotiff):
+    path = make_geotiff("dsm.tif", np.zeros((40, 60), np.float32),
+                        gsd=0.25, origin=(1000.0, 2000.0))
+    extent = raster.get_raster_extent(path)
+    assert extent["cols"] == 60 and extent["rows"] == 40
+    assert extent["minX"] == 1000.0
+    assert extent["maxX"] == 1000.0 + 60 * 0.25
+    assert extent["maxY"] == 2000.0
+    assert extent["minY"] == 2000.0 - 40 * 0.25
+    assert extent["gsdX"] == 0.25 and extent["gsdY"] == 0.25
+
+
+def test_write_raster_offset_geotransform(make_geotiff, tmp_path):
+    src = make_geotiff("src.tif", np.zeros((32, 32), np.float32),
+                       gsd=0.5, origin=(100.0, 200.0))
+    sub = np.ones((8, 8), np.float32)
+    out_path = str(tmp_path / "sub.tif")
+    raster.write_raster(out_path, sub, like=src, offset_x=4, offset_y=2, nodata=-1.0)
+    loaded = raster.open_raster(out_path)
+    assert loaded.geotransform[0] == 100.0 + 4 * 0.5
+    assert loaded.geotransform[3] == 200.0 - 2 * 0.5
+    assert loaded.nodata == -1.0
+
+
+def test_load_mask_raster(make_geotiff):
+    data = np.array([[1, 0, 1], [255, 1, 0]], dtype=np.uint8)
+    path = make_geotiff("mask.tif", data, nodata=255)
+    mask, nodata_mask = raster.load_mask_raster(path)
+    np.testing.assert_array_equal(mask, [[True, False, True], [False, True, False]])
+    np.testing.assert_array_equal(nodata_mask, [[False, False, False],
+                                                [True, False, False]])
+
+
+def test_dilate_mask_matches_scipy():
+    rng = np.random.default_rng(3)
+    mask = rng.random((25, 31)) > 0.9
+    for iterations in (1, 2):
+        ours = raster.dilate_mask(mask, iterations=iterations)
+        scipys = ndimage.binary_dilation(mask, iterations=iterations)
+        np.testing.assert_array_equal(ours, scipys)
+
+
+# ------------------------------- Tile grids ------------------------------- #
+
+def test_create_regular_grid_golden():
+    """Hand-derived golden for a 16x16 region, tile 8, stride 4."""
+    area = {"x_extent": [(0, 15)], "y_extent": [(0, 15)]}
+    positions, borders = grid.create_regular_grid(area, tile_size=8, stride=4)
+    assert positions == [(0, 0), (0, 4), (0, 8),
+                         (4, 0), (4, 4), (4, 8),
+                         (8, 0), (8, 4), (8, 8)]
+    assert borders == [(0, 0, 3, 3), (0, 4, 3, 3), (0, 4, 3, 7),
+                       (4, 0, 3, 3), (4, 4, 3, 3), (4, 4, 3, 7),
+                       (4, 0, 7, 3), (4, 4, 7, 3), (4, 4, 7, 7)]
+
+
+def test_create_regular_grid_nonoverlapping_partition():
+    """stride == tile: exclusive regions partition the area exactly."""
+    area = {"x_extent": [(0, 23)], "y_extent": [(0, 15)]}
+    positions, borders = grid.create_regular_grid(area, tile_size=8, stride=8)
+    cover = np.zeros((16, 24), np.int32)
+    for (uly, ulx), (b_uly, b_ulx, b_lry, b_lrx) in zip(positions, borders):
+        cover[uly + b_uly:uly + b_lry + 1, ulx + b_ulx:ulx + b_lrx + 1] += 1
+    np.testing.assert_array_equal(cover, np.ones_like(cover))
+
+
+def test_create_regular_grid_edge_shift():
+    """Region not divisible by stride: edge tiles shift inward, still partition."""
+    area = {"x_extent": [(0, 21)], "y_extent": [(0, 13)]}
+    positions, borders = grid.create_regular_grid(area, tile_size=8, stride=8)
+    for uly, ulx in positions:
+        assert 0 <= uly <= 13 - 7 and 0 <= ulx <= 21 - 7
+    cover = np.zeros((14, 22), np.int32)
+    for (uly, ulx), (b_uly, b_ulx, b_lry, b_lrx) in zip(positions, borders):
+        cover[uly + b_uly:uly + b_lry + 1, ulx + b_ulx:ulx + b_lrx + 1] += 1
+    np.testing.assert_array_equal(cover, np.ones_like(cover))
+
+
+def test_indices_from_area_defn():
+    area = {"x_extent": [(0, 15), (20, 30)], "y_extent": [(0, 9), (5, 20)]}
+    positions = grid.indices_from_area_defn(area, tile_size=8)
+    # region 1: y in [0, 2], x in [0, 8] -> 3 * 9; region 2: y in [5, 13], x in [20, 23] -> 9 * 4
+    assert len(positions) == 3 * 9 + 9 * 4
+    assert positions[0] == (0, 0)
+    assert (5, 20) in positions
+    for y, x in positions:
+        in_r1 = 0 <= x <= 8 and 0 <= y <= 2
+        in_r2 = 20 <= x <= 23 and 5 <= y <= 13
+        assert in_r1 or in_r2
+
+
+# ------------------------------ Allocation -------------------------------- #
+
+@pytest.mark.parametrize("strategy", ["5-crossval_vertical", "5-crossval_horizontal"])
+@pytest.mark.parametrize("test_stripe", [0, 1, 2, 3, 4])
+def test_allocate_data_partition(make_geotiff, strategy, test_stripe):
+    path = make_geotiff("alloc.tif", np.zeros((50, 47), np.float32))
+    train, val, test = allocation.allocate_data(path, strategy, test_stripe)
+
+    axis = "x_extent" if strategy.endswith("vertical") else "y_extent"
+    size = 47 if strategy.endswith("vertical") else 50
+    width = int(round(size * 0.2))
+
+    # val stripe is cyclically east/south of the test stripe
+    val_stripe = (test_stripe + 1) % 5
+    starts = [i * width for i in range(5)]
+    ends = [s + width - 1 for s in starts[:-1]] + [size - 1]
+    assert test[axis] == [(starts[test_stripe], ends[test_stripe])]
+    assert val[axis] == [(starts[val_stripe], ends[val_stripe])]
+
+    # train ∪ val ∪ test covers the axis exactly once
+    covered = np.zeros(size, np.int32)
+    for region in (train, val, test):
+        for lo, hi in region[axis]:
+            covered[lo:hi + 1] += 1
+    np.testing.assert_array_equal(covered, np.ones(size, np.int32))
+
+    # training regions are maximal merges: no two adjacent extents
+    extents = sorted(train[axis])
+    for (lo1, hi1), (lo2, hi2) in zip(extents, extents[1:]):
+        assert lo2 > hi1 + 1
+
+
+@pytest.mark.parametrize("test_stripe", [0, 1, 2, 3, 4])
+def test_allocate_data_crossval(make_geotiff, test_stripe):
+    path = make_geotiff("alloc2.tif", np.zeros((50, 50), np.float32))
+    train, val, test = allocation.allocate_data(
+        path, "5-crossval_vertical", test_stripe, crossval_training=True)
+    assert test == {}
+    width = int(round(50 * 0.2))
+    assert val["x_extent"] == [(test_stripe * width,
+                                test_stripe * width + width - 1 if test_stripe < 4 else 49)]
+    covered = np.zeros(50, np.int32)
+    for region in (train, val):
+        for lo, hi in region["x_extent"]:
+            covered[lo:hi + 1] += 1
+    np.testing.assert_array_equal(covered, np.ones(50, np.int32))
+
+
+def test_allocate_data_reference_goldens(make_geotiff):
+    """Spot-check exact extents against the reference's unrolled tables
+    (lib/data_allocation.py:129-203)."""
+    path = make_geotiff("alloc3.tif", np.zeros((10, 100), np.float32))
+    # width = 20; stripes: (0,19)(20,39)(40,59)(60,79)(80,99)
+    train, val, test = allocation.allocate_data(path, "5-crossval_vertical", 1)
+    assert train["x_extent"] == [(0, 19), (60, 99)]
+    assert val["x_extent"] == [(40, 59)]
+    assert test["x_extent"] == [(20, 39)]
+    assert train["y_extent"] == [(0, 9), (0, 9)]
+
+    train, val, test = allocation.allocate_data(path, "5-crossval_vertical", 4)
+    assert train["x_extent"] == [(20, 79)]
+    assert val["x_extent"] == [(0, 19)]
+    assert test["x_extent"] == [(80, 99)]
+
+
+def test_allocate_data_invalid_args(make_geotiff):
+    path = make_geotiff("alloc4.tif", np.zeros((10, 10), np.float32))
+    with pytest.raises(ValueError):
+        allocation.allocate_data(path, "bogus", 0)
+    with pytest.raises(ValueError):
+        allocation.allocate_data(path, "5-crossval_vertical", 7)
