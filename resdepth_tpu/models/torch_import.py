@@ -1,0 +1,109 @@
+"""Import reference PyTorch checkpoints into the JAX UNet pytree.
+
+The reference stores checkpoints as ``torch.save({'epoch', 'model_state_dict',
+'optimizer_state_dict', ...})`` (/root/reference/lib/Trainer.py:145-157) and
+inference loads ``['model_state_dict']`` only (test.py:95). This module maps
+that state_dict onto ``resdepth_tpu.models.unet`` parameter/state pytrees so
+reference-trained weights run unchanged on TPU (weight-parity path used by the
+golden tests and BASELINE.md's <=1 cm MAE budget).
+
+Layout conversions (torch -> NHWC/HWIO):
+  * Conv2d weight (O, I, kH, kW)        -> kernel (kH, kW, I, O)
+  * ConvTranspose2d weight (I, O, 2, 2) -> kernel (2, 2, I, O)
+  * BatchNorm2d weight/bias             -> bn scale/bias
+  * BatchNorm2d running_mean/var        -> bn state mean/var
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from resdepth_tpu.models.unet import UNetConfig
+
+
+def load_state_dict(path: str) -> dict:
+    """Load a .pth checkpoint's model state_dict as numpy arrays."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    state_dict = blob.get("model_state_dict", blob) if isinstance(blob, dict) else blob
+    return {k: np.asarray(v.detach().cpu().numpy()) for k, v in state_dict.items()
+            if hasattr(v, "detach")}
+
+
+def _conv_from(sd, prefix, use_bias):
+    layer = {"kernel": sd[f"{prefix}.weight"].transpose(2, 3, 1, 0)}
+    if use_bias:
+        layer["bias"] = sd[f"{prefix}.bias"]
+    return layer
+
+
+def _bn_from(sd, prefix):
+    params = {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+    state = {"mean": sd[f"{prefix}.running_mean"], "var": sd[f"{prefix}.running_var"]}
+    return params, state
+
+
+def _up_from(sd, prefix, up_mode):
+    if up_mode == "transpose":
+        return {"kernel": sd[f"{prefix}.weight"].transpose(2, 3, 0, 1),
+                "bias": sd[f"{prefix}.bias"]}
+    # bilinear: Sequential(Upsample, conv1x1) -> conv at sub-index 1
+    return _conv_from(sd, f"{prefix}.1", True)
+
+
+def params_from_state_dict(state_dict: dict, config: UNetConfig):
+    """Convert a reference UNet state_dict into (params, state) pytrees."""
+    sd = state_dict
+    use_bias = not config.do_BN
+    act_index = 2 if config.do_BN else 1
+
+    params: dict = {"encoder": [], "decoder": []}
+    state: dict = {"encoder": [], "decoder": []}
+
+    def conv_block(prefix, act_fn):
+        block = {"conv": _conv_from(sd, f"{prefix}.0", use_bias)}
+        block_state = {}
+        if config.do_BN:
+            block["bn"], block_state["bn"] = _bn_from(sd, f"{prefix}.1")
+        if act_fn == "prelu":
+            block["act"] = {"alpha": sd[f"{prefix}.{act_index}.weight"]}
+        return block, block_state
+
+    for i in range(config.depth):
+        # encoder.{i} = Sequential(conv_block, maxpool); conv_block at .0
+        block, block_state = conv_block(f"encoder.{i}.0", config.act_fn_encoder)
+        params["encoder"].append(block)
+        state["encoder"].append(block_state)
+
+    params["bottleneck"], state["bottleneck"] = conv_block(
+        "bottleneck", config.act_fn_bottleneck)
+
+    for i in range(config.depth - 1):
+        # decoder.{i} = Sequential(upconv, Sequential(conv, bn, act))
+        block, block_state = conv_block(f"decoder.{i}.1", config.act_fn_decoder)
+        block["up"] = _up_from(sd, f"decoder.{i}.0", config.up_mode)
+        params["decoder"].append(block)
+        state["decoder"].append(block_state)
+
+    # Deepest decoder level: bare upconv module (lib/UNet.py:181)
+    last_up_prefix = f"decoder.{config.depth - 1}"
+    params["decoder"].append({"up": _up_from(sd, last_up_prefix, config.up_mode)})
+    state["decoder"].append({})
+
+    params["last"] = _conv_from(sd, "last_layer", config.bias_conv_layer)
+
+    if config.outer_skip and config.outer_skip_BN:
+        params["outer_skip_bn"], bn_state = _bn_from(sd, "layer_outer_skip.0")
+        state["outer_skip_bn"] = {"bn": bn_state}
+
+    import jax.numpy as jnp
+    import jax
+
+    to_jnp = lambda leaf: jnp.asarray(leaf, jnp.float32)
+    return jax.tree_util.tree_map(to_jnp, params), jax.tree_util.tree_map(to_jnp, state)
+
+
+def import_checkpoint(path: str, config: UNetConfig):
+    """Load a reference .pth checkpoint into (params, state) pytrees."""
+    return params_from_state_dict(load_state_dict(path), config)

@@ -1,0 +1,344 @@
+"""Residual-refinement UNet as a functional JAX model.
+
+Re-implements the exact topology of the reference network
+(/root/reference/lib/UNet.py:104-246) TPU-first:
+
+  * layout is NHWC end-to-end (TPU-native; the reference uses NCHW),
+  * parameters/state are explicit pytrees (no module objects), so the model
+    composes directly with jit / grad / shard_map,
+  * the 2x2-stride-2 transposed convolution is implemented as a 1x1 matmul to
+    4x channels followed by depth-to-space — mathematically identical to
+    ConvTranspose2d(k=2, s=2) but lowered as a single MXU matmul instead of a
+    scatter-style transposed conv,
+  * BatchNorm supports cross-replica statistics via an optional mesh axis
+    name (``jax.lax.pmean``) so data-parallel training matches single-device
+    BatchNorm semantics.
+
+Topology facts preserved for weight/output parity (SURVEY.md §3.3):
+  * one conv per encoder level (not double-conv), additive skips (not concat),
+  * decoder upconv happens BEFORE the skip-add; the deepest decoder level has
+    no conv after the add (lib/UNet.py:222-224),
+  * conv bias is disabled whenever BatchNorm follows (lib/UNet.py:44,65,85),
+  * filter widths ``start_kernel * 2^i`` capped at ``max_filter_depth``
+    (lib/UNet.py:152-155),
+  * optional outer residual skip adds input channel 0 to the output,
+    optionally through a BatchNorm (lib/UNet.py:229-244).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ACTIVATIONS = ("relu", "lrelu", "prelu")
+UP_MODES = ("transpose", "bilinear")
+
+BN_EPS = 1e-5
+BN_MOMENTUM = 0.1
+LRELU_SLOPE = 0.01
+PRELU_INIT = 0.25
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    n_input_channels: int = 1
+    start_kernel: int = 64
+    max_filter_depth: int = 512
+    depth: int = 5
+    act_fn_encoder: str = "relu"
+    act_fn_decoder: str = "relu"
+    act_fn_bottleneck: str = "relu"
+    up_mode: str = "transpose"
+    do_BN: bool = True
+    bias_conv_layer: bool = False
+    outer_skip: bool = True
+    outer_skip_BN: bool = False
+
+    def __post_init__(self):
+        for act in (self.act_fn_encoder, self.act_fn_decoder, self.act_fn_bottleneck):
+            if act not in ACTIVATIONS:
+                raise ValueError(f"'{act}' is not a valid activation. Choose among {ACTIVATIONS}.")
+        if self.up_mode not in UP_MODES:
+            raise ValueError(f"'{self.up_mode}' is not a valid up_mode. Choose among {UP_MODES}.")
+
+    @property
+    def filter_depths(self) -> tuple[int, ...]:
+        return tuple(min(self.start_kernel * (2 ** i), self.max_filter_depth)
+                     for i in range(self.depth))
+
+
+def unet_config_from_settings(settings: dict) -> UNetConfig:
+    """Build a UNetConfig from the cfg.model.settings dict (model_config.json)."""
+    fields = {f.name for f in dataclasses.fields(UNetConfig)}
+    return UNetConfig(**{k: v for k, v in settings.items() if k in fields})
+
+
+# ----------------------------- initialisation ----------------------------- #
+
+def _conv_init(rng, kh, kw, in_ch, out_ch, use_bias):
+    """Torch-default initialisation: kaiming-uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in))."""
+    k_rng, b_rng = jax.random.split(rng)
+    fan_in = in_ch * kh * kw
+    bound = 1.0 / math.sqrt(fan_in)
+    layer = {"kernel": jax.random.uniform(k_rng, (kh, kw, in_ch, out_ch),
+                                          jnp.float32, -bound, bound)}
+    if use_bias:
+        layer["bias"] = jax.random.uniform(b_rng, (out_ch,), jnp.float32, -bound, bound)
+    return layer
+
+
+def _bn_init(channels):
+    return {"scale": jnp.ones((channels,), jnp.float32),
+            "bias": jnp.zeros((channels,), jnp.float32)}
+
+
+def _bn_state_init(channels):
+    return {"mean": jnp.zeros((channels,), jnp.float32),
+            "var": jnp.ones((channels,), jnp.float32)}
+
+
+def _act_init(act_fn):
+    if act_fn == "prelu":
+        return {"alpha": jnp.full((1,), PRELU_INIT, jnp.float32)}
+    return {}
+
+
+def init_unet(rng, config: UNetConfig):
+    """Initialise (params, state) pytrees for the UNet."""
+    widths = config.filter_depths
+    use_bias = not config.do_BN  # bias off whenever BN follows (lib/UNet.py:44)
+
+    params: dict = {"encoder": [], "decoder": []}
+    state: dict = {"encoder": [], "decoder": []}
+
+    in_ch = config.n_input_channels
+    for width in widths:
+        rng, sub = jax.random.split(rng)
+        block = {"conv": _conv_init(sub, 3, 3, in_ch, width, use_bias)}
+        if _act_init(config.act_fn_encoder):
+            block["act"] = _act_init(config.act_fn_encoder)
+        if config.do_BN:
+            block["bn"] = _bn_init(width)
+            state["encoder"].append({"bn": _bn_state_init(width)})
+        else:
+            state["encoder"].append({})
+        params["encoder"].append(block)
+        in_ch = width
+
+    rng, sub = jax.random.split(rng)
+    params["bottleneck"] = {"conv": _conv_init(sub, 3, 3, widths[-1], widths[-1], use_bias)}
+    if _act_init(config.act_fn_bottleneck):
+        params["bottleneck"]["act"] = _act_init(config.act_fn_bottleneck)
+    if config.do_BN:
+        params["bottleneck"]["bn"] = _bn_init(widths[-1])
+        state["bottleneck"] = {"bn": _bn_state_init(widths[-1])}
+    else:
+        state["bottleneck"] = {}
+
+    widths_up = tuple(reversed(widths))
+    for i in range(config.depth - 1):
+        rng, up_rng, conv_rng = jax.random.split(rng, 3)
+        block = {"up": _up_init(up_rng, config.up_mode, widths_up[i], widths_up[i]),
+                 "conv": _conv_init(conv_rng, 3, 3, widths_up[i], widths_up[i + 1], use_bias)}
+        if _act_init(config.act_fn_decoder):
+            block["act"] = _act_init(config.act_fn_decoder)
+        if config.do_BN:
+            block["bn"] = _bn_init(widths_up[i + 1])
+            state["decoder"].append({"bn": _bn_state_init(widths_up[i + 1])})
+        else:
+            state["decoder"].append({})
+        params["decoder"].append(block)
+
+    rng, up_rng = jax.random.split(rng)
+    params["decoder"].append({"up": _up_init(up_rng, config.up_mode,
+                                             widths_up[-1], widths_up[-1])})
+    state["decoder"].append({})
+
+    rng, last_rng = jax.random.split(rng)
+    params["last"] = _conv_init(last_rng, 3, 3, config.start_kernel, 1,
+                                config.bias_conv_layer)
+
+    if config.outer_skip and config.outer_skip_BN:
+        params["outer_skip_bn"] = _bn_init(1)
+        state["outer_skip_bn"] = {"bn": _bn_state_init(1)}
+
+    return params, state
+
+
+def _up_init(rng, up_mode, in_ch, out_ch):
+    if up_mode == "transpose":
+        # ConvTranspose2d(k=2, s=2): stored as (2, 2, in, out); torch fan_in for
+        # transposed convs uses the OUT channel side of the weight tensor.
+        k_rng, b_rng = jax.random.split(rng)
+        fan_in = out_ch * 4
+        bound = 1.0 / math.sqrt(fan_in)
+        return {"kernel": jax.random.uniform(k_rng, (2, 2, in_ch, out_ch),
+                                             jnp.float32, -bound, bound),
+                "bias": jax.random.uniform(b_rng, (out_ch,), jnp.float32, -bound, bound)}
+    # bilinear: Upsample + 1x1 conv (with bias — plain conv1x1, lib/UNet.py:8-9,20)
+    return _conv_init(rng, 1, 1, in_ch, out_ch, True)
+
+
+# -------------------------------- forward --------------------------------- #
+
+def _activation(x, act_fn, act_params):
+    if act_fn == "relu":
+        return jnp.maximum(x, 0)
+    if act_fn == "lrelu":
+        return jnp.where(x >= 0, x, LRELU_SLOPE * x)
+    alpha = act_params["alpha"].astype(x.dtype)
+    return jnp.where(x >= 0, x, alpha * x)
+
+
+def _conv(x, layer, padding):
+    # Precision note: with f32 inputs, XLA's DEFAULT precision runs convs in
+    # bf16 passes (~5e-2 matmul error). HIGHEST keeps true f32 semantics for
+    # the parity budget; bf16 speed comes from casting inputs to bf16
+    # (compute_dtype knob), where HIGHEST is the native single-pass mode.
+    kernel = layer["kernel"].astype(x.dtype)
+    out = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    if "bias" in layer:
+        out = out + layer["bias"].astype(jnp.float32)
+    return out
+
+
+def _batch_norm(x, bn_params, bn_state, train, axis_name):
+    """BatchNorm2d with torch semantics (eps 1e-5, momentum 0.1).
+
+    In training, statistics are computed over (N, H, W) — cross-replica when
+    ``axis_name`` is set — normalisation uses the biased variance, and running
+    stats are updated with the unbiased variance (torch behaviour).
+    """
+    x32 = x.astype(jnp.float32)
+    if train:
+        mean = jnp.mean(x32, axis=(0, 1, 2))
+        mean_sq = jnp.mean(jnp.square(x32), axis=(0, 1, 2))
+        count = x32.shape[0] * x32.shape[1] * x32.shape[2]
+        if axis_name is not None:
+            mean = jax.lax.pmean(mean, axis_name)
+            mean_sq = jax.lax.pmean(mean_sq, axis_name)
+            count = count * jax.lax.psum(1, axis_name)
+        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+        unbiased = var * (count / max(count - 1, 1))
+        new_state = {
+            "mean": (1 - BN_MOMENTUM) * bn_state["mean"] + BN_MOMENTUM * mean,
+            "var": (1 - BN_MOMENTUM) * bn_state["var"] + BN_MOMENTUM * unbiased,
+        }
+    else:
+        mean, var = bn_state["mean"], bn_state["var"]
+        new_state = bn_state
+
+    inv = jax.lax.rsqrt(var + BN_EPS) * bn_params["scale"]
+    out = (x32 - mean) * inv + bn_params["bias"]
+    return out.astype(x.dtype), new_state
+
+
+def _conv_block(x, block, block_state, act_fn, do_bn, train, axis_name):
+    """conv3x3 (+BN) + activation (lib/UNet.py:36-52)."""
+    out = _conv(x, block["conv"], ((1, 1), (1, 1)))
+    new_state = block_state
+    if do_bn:
+        out, new_bn = _batch_norm(out, block["bn"], block_state["bn"], train, axis_name)
+        new_state = {"bn": new_bn}
+    else:
+        out = out.astype(x.dtype)
+    out = _activation(out, act_fn, block.get("act"))
+    return out, new_state
+
+
+def _max_pool_2x2(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1), padding="VALID")
+
+
+def _upconv(x, up_params, up_mode):
+    """2x upsampling (lib/UNet.py:17-24).
+
+    'transpose' == ConvTranspose2d(k=2, s=2), computed as a 1x1 matmul to 4x
+    channels + depth-to-space (each input pixel independently produces its
+    2x2 output block — exact, and a single MXU matmul).
+    """
+    if up_mode == "transpose":
+        kernel = up_params["kernel"].astype(x.dtype)  # (2, 2, in, out)
+        n, h, w, _ = x.shape
+        out_ch = kernel.shape[-1]
+        # (N,H,W,C) x (C, 2*2*O) -> (N,H,W,2,2,O)
+        k2 = kernel.transpose(2, 0, 1, 3).reshape(kernel.shape[2], 4 * out_ch)
+        out = jnp.dot(x.reshape(-1, x.shape[-1]), k2,
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
+        out = out.reshape(n, h, w, 2, 2, out_ch)
+        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, out_ch)
+        out = out + up_params["bias"].astype(jnp.float32)
+        return out.astype(x.dtype)
+    # bilinear: half-pixel-centred 2x resize (torch align_corners=False) + conv1x1
+    n, h, w, c = x.shape
+    up = jax.image.resize(x, (n, 2 * h, 2 * w, c), method="linear")
+    return _conv(up, up_params, ((0, 0), (0, 0))).astype(x.dtype)
+
+
+def apply_unet(config: UNetConfig, params, state, x, *, train: bool = False,
+               axis_name: str | None = None):
+    """Forward pass. ``x``: (N, H, W, C) with the initial DSM as channel 0.
+
+    Returns ``(y, new_state)`` where ``y`` is (N, H, W, 1) and ``new_state``
+    carries updated BatchNorm running statistics (identical to ``state`` when
+    ``train=False``).
+    """
+    new_state: dict = {"encoder": [], "decoder": []}
+    skips = []
+    out = x
+
+    for block, block_state in zip(params["encoder"], state["encoder"]):
+        out, ns = _conv_block(out, block, block_state, config.act_fn_encoder,
+                              config.do_BN, train, axis_name)
+        skips.append(out)
+        out = _max_pool_2x2(out)
+        new_state["encoder"].append(ns)
+
+    out, ns = _conv_block(out, params["bottleneck"], state["bottleneck"],
+                          config.act_fn_bottleneck, config.do_BN, train, axis_name)
+    new_state["bottleneck"] = ns
+
+    n_decoder = len(params["decoder"])
+    for i, (block, block_state) in enumerate(zip(params["decoder"], state["decoder"])):
+        up = _upconv(out, block["up"], config.up_mode)
+        out = skips[-1 - i] + up  # additive skip (lib/UNet.py:96-101)
+        if i < n_decoder - 1:
+            out, ns = _conv_block(out, block, block_state, config.act_fn_decoder,
+                                  config.do_BN, train, axis_name)
+        else:
+            ns = block_state  # deepest decoder level: no conv after the add
+        new_state["decoder"].append(ns)
+
+    out = _conv(out, params["last"], ((1, 1), (1, 1))).astype(x.dtype)
+
+    if config.outer_skip:
+        x0 = x[..., 0:1]
+        if config.outer_skip_BN:
+            x0, ns = _batch_norm(x0, params["outer_skip_bn"],
+                                 state["outer_skip_bn"]["bn"], train, axis_name)
+            new_state["outer_skip_bn"] = {"bn": ns}
+        out = out + x0
+
+    return out, new_state
+
+
+def param_count(params) -> int:
+    return int(sum(np.prod(leaf.shape) for leaf in jax.tree_util.tree_leaves(params)))
+
+
+def flagship_config(input_channels: str = "geom-stereo") -> UNetConfig:
+    """The paper's headline architecture: depth-5 UNet, start 64, cap 512."""
+    from resdepth_tpu.config.schema import count_input_channels
+    return UNetConfig(n_input_channels=count_input_channels(input_channels))

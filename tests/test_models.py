@@ -1,0 +1,158 @@
+"""UNet model: shapes, topology, and bit-level parity with the torch oracle."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from resdepth_tpu.models import unet as junet
+from resdepth_tpu.models import torch_import
+
+
+def _small_config(**overrides):
+    base = dict(n_input_channels=3, start_kernel=4, max_filter_depth=16, depth=3,
+                act_fn_encoder="relu", act_fn_decoder="relu", act_fn_bottleneck="relu",
+                up_mode="transpose", do_BN=True, bias_conv_layer=False,
+                outer_skip=True, outer_skip_BN=False)
+    base.update(overrides)
+    return junet.UNetConfig(**base)
+
+
+def test_filter_depth_cap():
+    config = junet.UNetConfig(start_kernel=64, max_filter_depth=512, depth=5)
+    assert config.filter_depths == (64, 128, 256, 512, 512)
+
+
+@pytest.mark.parametrize("channels,n_in", [("geom", 1), ("geom-stereo", 3),
+                                           ("stereo", 2), ("geom-mono", 2)])
+def test_output_shape(channels, n_in):
+    config = _small_config(n_input_channels=n_in, outer_skip=channels != "stereo")
+    params, state = junet.init_unet(jax.random.PRNGKey(0), config)
+    x = jnp.ones((2, 32, 32, n_in), jnp.float32)
+    y, new_state = junet.apply_unet(config, params, state, x, train=False)
+    assert y.shape == (2, 32, 32, 1)
+    assert jax.tree_util.tree_structure(new_state) == jax.tree_util.tree_structure(state)
+
+
+def test_outer_skip_identity_at_zero_weights():
+    """With all-zero weights + outer skip, the network is the identity on ch 0."""
+    config = _small_config(do_BN=False, bias_conv_layer=False)
+    params, state = junet.init_unet(jax.random.PRNGKey(0), config)
+    params = jax.tree_util.tree_map(jnp.zeros_like, params)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    y, _ = junet.apply_unet(config, params, state, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x[..., 0:1]), atol=1e-6)
+
+
+def _torch_kwargs(config):
+    return dict(
+        n_input_channels=config.n_input_channels, start_kernel=config.start_kernel,
+        max_filter_depth=config.max_filter_depth, depth=config.depth,
+        act_fn_encoder=config.act_fn_encoder, act_fn_decoder=config.act_fn_decoder,
+        act_fn_bottleneck=config.act_fn_bottleneck, up_mode=config.up_mode,
+        do_BN=config.do_BN, bias_conv_layer=config.bias_conv_layer,
+        outer_skip=config.outer_skip, outer_skip_BN=config.outer_skip_BN)
+
+
+def _parity_setup(config, seed=0):
+    import torch
+    from tests.torch_unet import TorchUNet
+
+    torch.manual_seed(seed)
+    model = TorchUNet(**_torch_kwargs(config))
+
+    # Make BN running statistics non-trivial before comparing eval mode.
+    model.train()
+    with torch.no_grad():
+        for _ in range(2):
+            model(torch.randn(2, config.n_input_channels, 32, 32))
+    model.eval()
+
+    sd = {k: np.asarray(v.detach().numpy()) for k, v in model.state_dict().items()}
+    params, state = torch_import.params_from_state_dict(sd, config)
+    return model, params, state
+
+
+@pytest.mark.parametrize("overrides", [
+    dict(),
+    dict(up_mode="bilinear"),
+    dict(act_fn_encoder="lrelu", act_fn_decoder="prelu", act_fn_bottleneck="lrelu"),
+    dict(do_BN=False, bias_conv_layer=True),
+    dict(outer_skip_BN=True),
+    dict(outer_skip=False),
+])
+def test_eval_parity_with_torch(overrides):
+    import torch
+
+    config = _small_config(**overrides)
+    model, params, state = _parity_setup(config)
+
+    x = np.random.default_rng(7).normal(size=(2, config.n_input_channels, 32, 32)) \
+        .astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(x)).numpy()
+
+    x_nhwc = jnp.asarray(x.transpose(0, 2, 3, 1))
+    ours, _ = junet.apply_unet(config, params, state, x_nhwc, train=False)
+    ours = np.asarray(ours).transpose(0, 3, 1, 2)
+
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_train_mode_parity_with_torch():
+    """Training forward (batch statistics) and running-stat updates match torch."""
+    import torch
+
+    config = _small_config()
+    model, params, state = _parity_setup(config)
+    model.train()
+
+    x = np.random.default_rng(11).normal(size=(4, config.n_input_channels, 32, 32)) \
+        .astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(x)).numpy()
+
+    x_nhwc = jnp.asarray(x.transpose(0, 2, 3, 1))
+    ours, new_state = junet.apply_unet(config, params, state, x_nhwc, train=True)
+    ours = np.asarray(ours).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+    # Running stats after the step must match torch's updated buffers.
+    sd = model.state_dict()
+    np.testing.assert_allclose(
+        np.asarray(new_state["encoder"][0]["bn"]["mean"]),
+        sd["encoder.0.0.1.running_mean"].numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_state["encoder"][0]["bn"]["var"]),
+        sd["encoder.0.0.1.running_var"].numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_import_checkpoint_roundtrip(tmp_path):
+    """Full .pth round-trip through the reference checkpoint format."""
+    import torch
+
+    config = _small_config()
+    model, params, state = _parity_setup(config)
+
+    path = str(tmp_path / "Model_best.pth")
+    torch.save({"epoch": 3, "model_state_dict": model.state_dict(),
+                "loss_train": 0.5, "loss_val": 0.4}, path)
+
+    params2, state2 = torch_import.import_checkpoint(path, config)
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(state2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_param_count_flagship():
+    """The flagship geom-stereo depth-5 UNet has the expected parameter count."""
+    config = junet.flagship_config("geom-stereo")
+    params, _ = junet.init_unet(jax.random.PRNGKey(0), config)
+
+    import torch
+    from tests.torch_unet import TorchUNet
+    model = TorchUNet(**_torch_kwargs(config))
+    torch_count = sum(p.numel() for p in model.parameters())
+    assert junet.param_count(params) == torch_count
