@@ -27,7 +27,9 @@ def load_state_dict(path: str) -> dict:
 
     blob = torch.load(path, map_location="cpu", weights_only=False)
     state_dict = blob.get("model_state_dict", blob) if isinstance(blob, dict) else blob
-    return {k: np.asarray(v.detach().cpu().numpy()) for k, v in state_dict.items()
+    # Copy: torch buffers (BN running stats) mutate in place, and jax's CPU
+    # backend can zero-copy numpy views — the import must snapshot.
+    return {k: np.array(v.detach().cpu().numpy()) for k, v in state_dict.items()
             if hasattr(v, "detach")}
 
 

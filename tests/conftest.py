@@ -1,16 +1,19 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
-Multi-chip hardware is not available in CI; sharding logic is validated on
-XLA's host platform with 8 virtual devices (the same mechanism the driver's
-dry-run uses).
+The container's sitecustomize registers the axon TPU plugin at interpreter
+startup and pins JAX to the tunneled TPU regardless of in-process env
+changes. Tests must be hermetic and multi-device (sharding logic is
+validated on XLA's host platform with 8 virtual devices — the same mechanism
+the driver's dry-run uses), so the first conftest import re-execs pytest with
+a scrubbed environment.
 """
 
-import os
+import jax
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# Must run before any backend initialisation: the sitecustomize pins
+# jax_platforms to the axon TPU plugin; these config updates supersede it.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

@@ -69,7 +69,7 @@ def _parity_setup(config, seed=0):
             model(torch.randn(2, config.n_input_channels, 32, 32))
     model.eval()
 
-    sd = {k: np.asarray(v.detach().numpy()) for k, v in model.state_dict().items()}
+    sd = {k: np.array(v.detach().numpy()) for k, v in model.state_dict().items()}
     params, state = torch_import.params_from_state_dict(sd, config)
     return model, params, state
 
