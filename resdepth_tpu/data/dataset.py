@@ -76,7 +76,7 @@ class TileDataset:
         self.dsm_mean = None if dsm_mean is None else float(dsm_mean)
         self.dsm_std = float(dsm_std)
         self.ortho_mean = None if ortho_mean is None else float(ortho_mean)
-        self.ortho_std = float(ortho_std)
+        self.ortho_std = 1.0 if ortho_std is None else float(ortho_std)
 
         self._load_and_verify(dataset)
         self._determine_patches()

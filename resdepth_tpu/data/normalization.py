@@ -24,6 +24,15 @@ def denormalize(data, mean, std):
     return data * std + mean
 
 
+def robust_mean_std(stds) -> float:
+    """Trim sigmas outside the [5th, 95th] percentile band and average."""
+    stds = np.asarray(stds, dtype=np.float64)
+    hi = np.percentile(stds, 95)
+    lo = np.percentile(stds, 5)
+    keep = stds[(stds >= lo) & (stds <= hi)]
+    return float(keep.mean())
+
+
 def compute_local_dsm_std_per_centered_patch(patches, nodata) -> float:
     """Single robust sigma across mean-centred DSM training patches.
 
@@ -40,11 +49,55 @@ def compute_local_dsm_std_per_centered_patch(patches, nodata) -> float:
         mean = x.mean()
         count = x.count()
         stds.append(float(np.sqrt(((x - mean) ** 2).sum() / max(count - 1, 1))))
-    stds = np.asarray(stds, dtype=np.float64)
-    hi = np.percentile(stds, 95)
-    lo = np.percentile(stds, 5)
-    keep = stds[(stds >= lo) & (stds <= hi)]
-    return float(keep.mean())
+    return robust_mean_std(stds)
+
+
+def patch_stds_from_positions(dsm, nodata, positions, tile_size: int) -> np.ndarray:
+    """Vectorised per-patch masked standard deviations at (y, x) ``positions``.
+
+    Same per-patch statistic as ``compute_local_dsm_std_per_centered_patch``
+    but O(HW+N) via summed-area tables of (valid, x, x^2) instead of a Python
+    loop over patches — the reference's float128 loop over 20k patches
+    (lib/utils.py:129-150) becomes three f64 cumsums after global centring
+    (centring keeps the x^2 table well-conditioned).
+    """
+    positions = np.asarray(positions).reshape(-1, 2)
+    data = dsm.astype(np.float64)
+    valid = (data != nodata)
+    centred = np.where(valid, data - data[valid].mean() if valid.any() else data, 0.0)
+
+    def sat(a):
+        table = np.zeros((a.shape[0] + 1, a.shape[1] + 1), np.float64)
+        np.cumsum(np.cumsum(a, axis=0), axis=1, out=table[1:, 1:])
+        return table
+
+    t_n = sat(valid.astype(np.float64))
+    t_s = sat(centred)
+    t_q = sat(centred * centred)
+
+    ys, xs = positions[:, 0], positions[:, 1]
+    t = tile_size
+
+    def window(table):
+        return (table[ys + t, xs + t] - table[ys, xs + t]
+                - table[ys + t, xs] + table[ys, xs])
+
+    n = window(t_n)
+    s1 = window(t_s)
+    s2 = window(t_q)
+    n_safe = np.maximum(n, 1.0)
+    var = (s2 - s1 * s1 / n_safe) / np.maximum(n - 1.0, 1.0)
+    return np.sqrt(np.maximum(var, 0.0))
+
+
+def sigma_from_positions(dsm, nodata, positions, tile_size: int,
+                         exact: bool = False) -> float:
+    """Robust sigma over patches at ``positions`` (trimmed mean of patch stds)."""
+    if exact:
+        positions = np.asarray(positions).reshape(-1, 2)
+        patches = (dsm[y:y + tile_size, x:x + tile_size] for y, x in positions)
+        return compute_local_dsm_std_per_centered_patch(patches, nodata)
+    return robust_mean_std(patch_stds_from_positions(dsm, nodata, positions, tile_size))
 
 
 def compute_satellite_image_normalization(cfg_data, open_band=None):

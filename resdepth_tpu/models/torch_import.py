@@ -109,3 +109,13 @@ def params_from_state_dict(state_dict: dict, config: UNetConfig):
 def import_checkpoint(path: str, config: UNetConfig):
     """Load a reference .pth checkpoint into (params, state) pytrees."""
     return params_from_state_dict(load_state_dict(path), config)
+
+
+def load_epoch(path: str) -> int:
+    """Epoch recorded in a reference checkpoint (-1 for bare state_dicts)."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(blob, dict) and "epoch" in blob:
+        return int(blob["epoch"])
+    return -1

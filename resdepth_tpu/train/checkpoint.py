@@ -1,0 +1,86 @@
+"""Checkpoint save/restore.
+
+The reference persists ``{epoch, model_state_dict, optimizer_state_dict,
+loss_train, loss_val[, scheduler_state_dict]}`` via torch.save
+(/root/reference/lib/Trainer.py:145-157), with three artifact roles:
+``Model_best`` (new best val loss), ``Model_after_{N}_epochs`` (periodic),
+``Model_last`` (final). This module keeps the same roles and payload in a
+pickle-free container: a single ``.npz`` holding every pytree leaf under its
+key-path, plus a JSON metadata blob. Reference ``.pth`` files are importable
+through ``models.torch_import`` (weights + BN state; see
+``Trainer.load_pretrained``).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+
+import jax
+import numpy as np
+
+_META_KEY = "__meta__"
+
+
+def _flatten_with_paths(tree) -> dict:
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {jax.tree_util.keystr(path): np.asarray(leaf) for path, leaf in flat}
+
+
+def save_checkpoint(path: str, *, epoch: int, params, bn_state, opt_state=None,
+                    lr: float | None = None, loss_train=None, loss_val=None,
+                    scheduler_state: dict | None = None, extra: dict | None = None):
+    """Write a checkpoint .npz (atomically via an in-memory buffer)."""
+    arrays = {}
+    for name, tree in (("params", params), ("bn_state", bn_state),
+                       ("opt_state", opt_state)):
+        if tree is not None:
+            for key, leaf in _flatten_with_paths(tree).items():
+                arrays[f"{name}{key}"] = leaf
+    meta = {
+        "epoch": int(epoch),
+        "lr": None if lr is None else float(lr),
+        "loss_train": None if loss_train is None else float(loss_train),
+        "loss_val": None if loss_val is None else float(loss_val),
+        "scheduler_state": scheduler_state,
+        "format_version": 1,
+    }
+    if extra:
+        meta.update(extra)
+    arrays[_META_KEY] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+
+    buffer = io.BytesIO()
+    np.savez(buffer, **arrays)
+    with open(path, "wb") as f:
+        f.write(buffer.getvalue())
+
+
+def load_checkpoint(path: str, *, params_template=None, bn_template=None,
+                    opt_template=None):
+    """Load a checkpoint; pytrees are restored into the given templates.
+
+    Returns ``(meta, params, bn_state, opt_state)`` — tree entries are None
+    when no template is supplied for them.
+    """
+    with np.load(path) as blob:
+        meta = json.loads(bytes(blob[_META_KEY].tobytes()).decode())
+        stored = {k: blob[k] for k in blob.files if k != _META_KEY}
+
+    def restore(name, template):
+        if template is None:
+            return None
+        paths, treedef = jax.tree_util.tree_flatten_with_path(template)
+        leaves = []
+        for path, leaf in paths:
+            key = f"{name}{jax.tree_util.keystr(path)}"
+            if key not in stored:
+                raise KeyError(f"Checkpoint {path!r} is missing leaf {key!r}")
+            value = stored[key]
+            if value.shape != np.shape(leaf):
+                raise ValueError(f"Checkpoint leaf {key!r} has shape {value.shape}, "
+                                 f"expected {np.shape(leaf)}")
+            leaves.append(value)
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    return (meta, restore("params", params_template),
+            restore("bn_state", bn_template), restore("opt_state", opt_template))

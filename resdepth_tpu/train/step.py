@@ -1,0 +1,137 @@
+"""Jitted, mesh-parallel train and eval steps.
+
+One fused XLA program per step: device-side batch assembly (gather /
+normalise / augment, ``data.pipeline.build_batch``) -> UNet forward (train
+mode with cross-replica BatchNorm) -> denormalised masked L1 -> backward ->
+cross-replica gradient ``psum`` -> optimizer update. The host contributes
+only (B, 2) tile positions and scalars per step — there is no per-batch
+host preprocessing and no parameter traffic (contrast with the reference's
+worker-process DataLoader + ``.to(device)`` per batch,
+/root/reference/lib/Trainer.py:159-199).
+
+Data parallelism follows SURVEY.md §2b: batches shard over a 1-D mesh axis;
+gradients and BatchNorm batch statistics reduce over ICI so the result is
+bit-equivalent to single-device training at the same global batch size.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from resdepth_tpu.data.pipeline import BatchSpec, DeviceRasters, build_batch
+from resdepth_tpu.models.unet import UNetConfig, apply_unet
+from resdepth_tpu.train.loss import denormalized_masked_l1
+from resdepth_tpu.train.optim import apply_updates
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: dict
+    bn_state: dict
+    opt_state: object
+    lr: jax.Array       # () f32 — schedulable without recompilation
+    step: jax.Array     # () i32
+
+    def replace(self, **kwargs) -> "TrainState":
+        return dataclasses.replace(self, **kwargs)
+
+
+def init_train_state(params, bn_state, tx, lr: float) -> TrainState:
+    return TrainState(params=params, bn_state=bn_state,
+                      opt_state=tx.init(params),
+                      lr=jnp.asarray(lr, jnp.float32),
+                      step=jnp.asarray(0, jnp.int32))
+
+
+def _sharded(fn, mesh, axis_name, n_batch_args, n_state_out):
+    """shard_map wrapper: state/rasters replicated, batch axis-0 sharded."""
+    in_specs = (P(), P()) + (P(axis_name),) * n_batch_args + (P(),)
+    out_specs = (P(),) * n_state_out
+    return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs if n_state_out > 1 else P(),
+                         check_vma=False)
+
+
+def make_train_step(config: UNetConfig, spec: BatchSpec, tx, mesh=None,
+                    axis_name: str = "data", compute_dtype=jnp.float32,
+                    donate: bool = True):
+    """Build the jitted train step.
+
+    Signature: ``step(state, rasters, positions, pair_idx, bounds, weights,
+    rng) -> (state, metric)`` where ``metric`` is the global denormalised
+    masked MAE of the batch in meters.
+    """
+    axis = axis_name if mesh is not None else None
+
+    def step_fn(state: TrainState, rasters: DeviceRasters, positions,
+                pair_indices, bounds, weights, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        if axis is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+
+        def loss_fn(params, bn_state):
+            batch = build_batch(rasters, positions, pair_indices, bounds, rng, spec)
+            x = batch["input"].astype(compute_dtype)
+            pred, new_bn = apply_unet(config, params, bn_state, x,
+                                      train=True, axis_name=axis)
+            loss, (num, den) = denormalized_masked_l1(
+                pred, batch["target"], batch["loss_mask"], batch["dsm_mean"],
+                spec.dsm_std, weights, axis)
+            return loss, (new_bn, num, den)
+
+        (_, (new_bn, num, den)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.bn_state)
+
+        if axis is not None:
+            grads = jax.lax.psum(grads, axis)
+            num = jax.lax.psum(num, axis)
+            den = jax.lax.psum(den, axis)
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = apply_updates(state.params, updates, state.lr)
+        new_state = TrainState(params=new_params, bn_state=new_bn,
+                               opt_state=new_opt, lr=state.lr,
+                               step=state.step + 1)
+        metric = num / jnp.maximum(den, 1.0)
+        return new_state, metric
+
+    if mesh is not None:
+        step_fn = _sharded(step_fn, mesh, axis_name, n_batch_args=4, n_state_out=2)
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(config: UNetConfig, spec: BatchSpec, mesh=None,
+                   axis_name: str = "data", compute_dtype=jnp.float32):
+    """Build the jitted eval step.
+
+    Signature: ``eval_step(params, bn_state, rasters, positions, pair_idx,
+    bounds, weights, rng) -> (num, den)`` — the masked |error| sum in meters
+    and the valid-pixel count, for host-side per-batch averaging (parity with
+    the reference's per-batch AverageMeter, lib/Trainer.py:224-226).
+    """
+    axis = axis_name if mesh is not None else None
+
+    def eval_fn(params, bn_state, rasters, positions, pair_indices, bounds,
+                weights, rng):
+        batch = build_batch(rasters, positions, pair_indices, bounds, rng, spec)
+        x = batch["input"].astype(compute_dtype)
+        pred, _ = apply_unet(config, params, bn_state, x, train=False)
+        _, (num, den) = denormalized_masked_l1(
+            pred, batch["target"], batch["loss_mask"], batch["dsm_mean"],
+            spec.dsm_std, weights, None)
+        if axis is not None:
+            num = jax.lax.psum(num, axis)
+            den = jax.lax.psum(den, axis)
+        return num, den
+
+    if mesh is not None:
+        in_specs = (P(), P(), P()) + (P(axis_name),) * 4 + (P(),)
+        eval_fn = jax.shard_map(eval_fn, mesh=mesh, in_specs=in_specs,
+                                out_specs=(P(), P()), check_vma=False)
+    return jax.jit(eval_fn)

@@ -1,0 +1,220 @@
+"""Training engine: epoch loop, validation, checkpointing, observability.
+
+Parity with /root/reference/lib/Trainer.py:13-318 —
+  * per-epoch train pass over all training datasets, periodic validation
+    every ``evaluate_rate`` epochs, denormalised masked MAE [m] as the sole
+    metric,
+  * train metric averaged and logged every ``freq_average_train_loss``
+    iterations (reference default 20, lib/utils.py:406),
+  * best / periodic / last checkpoint roles; LR scheduler stepped once per
+    VALIDATION epoch (ReduceLROnPlateau consumes the val metric),
+  * warm-start restore incl. optimizer/scheduler state and epoch arithmetic
+    (start_epoch = ckpt.epoch + 1, n_epochs += start_epoch —
+    lib/Trainer.py:113-143),
+  * TensorBoard scalars + hparams-on-best + JSONL mirror.
+
+Quirk guard (SURVEY.md quirk register): the reference crashes if a periodic
+checkpoint epoch precedes the first validation epoch (lib/Trainer.py:303-306
+references val stats unconditionally); here the periodic save simply reuses
+the latest known val loss (or None).
+
+TPU-specific behaviour: per-step device metrics are accumulated as device
+scalars and only materialised at logging points, so the host never blocks the
+step pipeline; batches from different datasets shard over the mesh inside the
+jitted step.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from resdepth_tpu.train import checkpoint as ckpt_io
+from resdepth_tpu.train.metrics import AverageMeter, MetricsWriter
+from resdepth_tpu.train.step import TrainState
+from resdepth_tpu.utils import fs
+from resdepth_tpu.utils.logging import setup_logger
+
+
+class Trainer:
+    def __init__(self, *, state: TrainState, train_step, eval_step,
+                 train_loaders, val_loaders, scheduler=None, n_epochs: int,
+                 evaluate_rate: int = 1, save_model_rate: int = 20,
+                 freq_average_train_loss: int = 20, checkpoint_dir: str,
+                 log_file: str | None = None, tboard_log_dir: str | None = None,
+                 metrics_jsonl: str | None = None, hparams: dict | None = None,
+                 rng_seed: int = 0, logger: logging.Logger | None = None):
+        """
+        ``train_loaders`` / ``val_loaders``: lists of
+        ``(DeviceRasters, BatchIndexIterator)`` pairs, one per dataset region
+        (the reference concatenates regions via ConcatDataset,
+        lib/utils.py:264-267; here each jitted step consumes batches from one
+        region and the region order is shuffled per epoch).
+        """
+        self.state = state
+        self.train_step = train_step
+        self.eval_step = eval_step
+        self.train_loaders = train_loaders
+        self.val_loaders = val_loaders
+        self.scheduler = scheduler
+        self.n_epochs = n_epochs
+        self.evaluate_rate = evaluate_rate
+        self.save_model_rate = save_model_rate
+        self.freq_average_train_loss = freq_average_train_loss
+
+        fs.make_dir(checkpoint_dir)
+        self.checkpoint_dir = checkpoint_dir
+        self.path_model_best = os.path.join(checkpoint_dir, "Model_best.npz")
+        self.path_model_last = os.path.join(checkpoint_dir, "Model_last.npz")
+
+        self.logger = logger or setup_logger("train_logger", log_to_console=True,
+                                             log_file=log_file)
+        self.writer = MetricsWriter(tboard_log_dir, metrics_jsonl)
+        self.hparams = hparams or {}
+
+        self.start_epoch = 0
+        self.best_loss = math.inf
+        self.index_best_loss = math.inf
+        self.epoch_rng = np.random.default_rng(rng_seed)
+        self.base_key = jax.random.PRNGKey(rng_seed)
+        self._last_val_loss = None
+        self._last_train_loss = None
+
+    # ------------------------------ resume ------------------------------ #
+
+    def resume_from(self, meta: dict) -> None:
+        """Apply warm-start bookkeeping after state restoration."""
+        self.start_epoch = int(meta.get("epoch", -1)) + 1
+        self.n_epochs += self.start_epoch
+        if meta.get("loss_val") is not None:
+            self.best_loss = float(meta["loss_val"])
+            self.index_best_loss = int(meta.get("epoch", -1))
+        if self.scheduler is not None and meta.get("scheduler_state"):
+            self.scheduler.load_state_dict(meta["scheduler_state"])
+            self.state = self.state.replace(
+                lr=jnp.asarray(self.scheduler.lr, jnp.float32))
+        self.logger.info(f"\n\nRestoring the pretrained model from epoch "
+                         f"{self.start_epoch}.")
+        self.logger.info(f"Current best loss {self.best_loss}\n")
+
+    # ------------------------------ training ----------------------------- #
+
+    def _lr(self) -> float:
+        return float(self.state.lr)
+
+    def _epoch_batches(self, loaders, shuffle_order: bool):
+        batches = []
+        for loader_id, (rasters, iterator) in enumerate(loaders):
+            for batch in iterator:
+                batches.append((loader_id, batch))
+        if shuffle_order:
+            self.epoch_rng.shuffle(batches)
+        return batches
+
+    def train_one_epoch(self, epoch: int) -> AverageMeter:
+        meter = AverageMeter()
+        pending = []  # device scalars, materialised lazily at logging points
+        batches = self._epoch_batches(self.train_loaders, shuffle_order=True)
+        num_iter = len(batches)
+        key = jax.random.fold_in(self.base_key, epoch)
+
+        for c_iter, (loader_id, batch) in enumerate(batches):
+            rasters = self.train_loaders[loader_id][0]
+            positions, pair_idx, bounds, weights = batch
+            self.state, metric = self.train_step(
+                self.state, rasters, positions, pair_idx, bounds, weights, key)
+            pending.append(metric)
+
+            if (c_iter + 1) % self.freq_average_train_loss == 0:
+                for value in pending:
+                    meter.update(float(value))
+                pending.clear()
+                curr_iter = num_iter * epoch + (c_iter + 1)
+                self.writer.add_scalar("train/MAE_metric", meter.avg, curr_iter)
+                self.writer.add_scalar("train/learning_rate", self._lr(), curr_iter)
+                self.logger.info(f"train:\tEpoch: {epoch} [{c_iter + 1}/{num_iter}]\t"
+                                 f"MAE_metric: {meter.avg:.6f}")
+                self._last_train_loss = meter.avg
+                meter.reset()
+
+        for value in pending:
+            meter.update(float(value))
+        if meter.count:
+            self._last_train_loss = meter.avg
+        return meter
+
+    def validate(self, epoch: int) -> float:
+        meter = AverageMeter()
+        key = jax.random.PRNGKey(0)  # eval path consumes no randomness
+        for loader_id, batch in self._epoch_batches(self.val_loaders,
+                                                    shuffle_order=False):
+            rasters = self.val_loaders[loader_id][0]
+            positions, pair_idx, bounds, weights = batch
+            num, den = self.eval_step(self.state.params, self.state.bn_state,
+                                      rasters, positions, pair_idx, bounds,
+                                      weights, key)
+            den = float(den)
+            if den > 0:
+                meter.update(float(num) / den)
+        loss = meter.avg if meter.count else math.inf
+        self.writer.add_scalar("val/MAE_metric", loss, epoch)
+        self.writer.add_scalar("val/learning_rate", self._lr(), epoch)
+        self.logger.info(f"\nval:\tEpoch: {epoch}\t\tMAE_metric: {loss:.6f}\n")
+        return loss
+
+    def _save(self, path: str, epoch: int) -> None:
+        ckpt_io.save_checkpoint(
+            path, epoch=epoch, params=self.state.params,
+            bn_state=self.state.bn_state, opt_state=self.state.opt_state,
+            lr=self._lr(), loss_train=self._last_train_loss,
+            loss_val=self._last_val_loss,
+            scheduler_state=(self.scheduler.state_dict()
+                             if self.scheduler is not None else None))
+
+    def train(self) -> None:
+        self.logger.info("Start training...\n")
+        start_time = time.time()
+        epoch = self.start_epoch
+
+        for epoch in range(self.start_epoch, self.n_epochs):
+            header = f"Epoch {epoch}/{self.n_epochs - 1}"
+            self.logger.info("\n{}\n{}\n".format(header, "-" * len(header)))
+
+            self.train_one_epoch(epoch)
+
+            if (epoch + 1) % self.evaluate_rate == 0:
+                val_loss = self.validate(epoch)
+                self._last_val_loss = val_loss
+
+                if val_loss < self.best_loss:
+                    self.best_loss = val_loss
+                    self.index_best_loss = epoch
+                    self._save(self.path_model_best, epoch)
+                    self.writer.add_hparams(
+                        dict(self.hparams),
+                        {"hparam/MAE_metric": val_loss})
+
+                if self.scheduler is not None:
+                    new_lr = self.scheduler.step(val_loss)
+                    if new_lr != self._lr():
+                        self.state = self.state.replace(
+                            lr=jnp.asarray(new_lr, jnp.float32))
+
+            if (epoch + 1) % self.save_model_rate == 0 and epoch > self.evaluate_rate:
+                name = f"Model_after_{epoch + 1}_epochs.npz"
+                self._save(os.path.join(self.checkpoint_dir, name), epoch)
+
+        elapsed = time.time() - start_time
+        self.logger.info("\n\nTraining finished!\nTraining time: {}".format(
+            time.strftime("%H:%M:%S", time.gmtime(elapsed))))
+        self.logger.info(f"\nBest model at epoch: {self.index_best_loss}")
+        self.logger.info("Validation loss of the best model: {:.6f}".format(
+            self.best_loss))
+        self.writer.close()
+        self._save(self.path_model_last, epoch)

@@ -1,0 +1,204 @@
+"""End-to-end CLI flows: train.py -> artifacts -> test.py -> outputs.
+
+The framework-level analogue of the reference's golden-demo workflow
+(SURVEY.md §4): synthetic GeoTIFF scenes, a full training run from a JSON
+config, then full-scene tiled inference + evaluation from an inference
+config referencing the training artifacts.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from resdepth_tpu.config import io as cfg_io
+from resdepth_tpu.geo import raster as raster_mod
+
+
+def _write_scene(make_geotiff, tmp_path, rows=80, cols=100, n_images=3):
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:rows, 0:cols].astype(np.float32)
+    gt = 400.0 + 5.0 * np.sin(yy / 9.0) + 4.0 * np.cos(xx / 11.0)
+    dsm = gt + rng.normal(0.0, 0.8, (rows, cols)).astype(np.float32)
+    gt = gt.astype(np.float32)
+    dsm = dsm.astype(np.float32)
+    images = rng.normal(120.0, 25.0, (rows, cols, n_images)).astype(np.float32)
+
+    paths = {
+        "raster_in": make_geotiff("dsm.tif", dsm),
+        "raster_gt": make_geotiff("gt.tif", gt),
+    }
+    image_paths = [make_geotiff(f"ortho_{j}.tif", images[..., j])
+                   for j in range(n_images)]
+    imagelist = tmp_path / "imagelist.txt"
+    imagelist.write_text("\n".join(image_paths) + "\n")
+    pairlist = tmp_path / "pairlist.txt"
+    pairlist.write_text("ortho_0, ortho_1\northo_1, ortho_2\n")
+    pairlist_single = tmp_path / "pairlist_single.txt"
+    pairlist_single.write_text("ortho_0, ortho_1\n")
+    paths.update(imagelist=str(imagelist), pairlist=str(pairlist),
+                 pairlist_single=str(pairlist_single))
+    return paths, dsm, gt
+
+
+def _run_cli(module_main, config_path, monkeypatch):
+    monkeypatch.setattr(sys, "argv", ["prog", config_path])
+    module_main()
+
+
+@pytest.mark.parametrize("channels", ["geom", "geom-stereo"])
+def test_train_then_infer(make_geotiff, tmp_path, monkeypatch, channels):
+    paths, dsm, gt = _write_scene(make_geotiff, tmp_path)
+    out_root = tmp_path / "runs"
+
+    dataset = {
+        "name": "synthetic",
+        "raster_in": paths["raster_in"],
+        "raster_gt": paths["raster_gt"],
+        "area_type": "train+val",
+        "allocation_strategy": "5-crossval_vertical",
+        "test_stripe": 1,
+        "n_training_samples": 24,
+    }
+    if channels != "geom":
+        dataset.update(path_image_list=paths["imagelist"],
+                       path_pairlist_training=paths["pairlist"],
+                       path_pairlist_validation=paths["pairlist"])
+
+    train_cfg = {
+        "datasets": [dataset],
+        "model": {"input_channels": channels, "depth": 2, "start_kernel": 4,
+                  "max_filter_depth": 8},
+        "stereopair_settings": {"use_all_stereo_pairs": True,
+                                "permute_images_within_pair": True},
+        "training_settings": {"tile_size": 16, "batch_size": 4, "n_epochs": 2,
+                              "augment": True, "loss": "L1"},
+        "optimizer": {"name": "Adam", "learning_rate": 0.001},
+        "scheduler": {"enabled": True, "name": "StepLR",
+                      "settings": {"step_size": 1, "gamma": 0.5}},
+        "general": {"save_model_rate": 2, "evaluate_rate": 1, "random_seed": 0},
+        "output": {"output_directory": str(out_root), "suffix": f"e2e_{channels}"},
+    }
+    cfg_path = tmp_path / "train_cfg.json"
+    cfg_path.write_text(json.dumps(train_cfg))
+
+    import train as train_cli
+    _run_cli(train_cli.main, str(cfg_path), monkeypatch)
+
+    run_dirs = sorted(out_root.iterdir())
+    assert len(run_dirs) == 1
+    run_dir = run_dirs[0]
+
+    # Artifact contract (reference train.py:174-203)
+    assert (run_dir / "config.json").exists()
+    assert (run_dir / "config.json.orig").exists()
+    assert (run_dir / "model_config.json").exists()
+    assert (run_dir / "DSM_normalization_parameters.p").exists()
+    assert (run_dir / "run.log").exists()
+    assert (run_dir / "training.log").exists()
+    assert (run_dir / "metrics.jsonl").exists()
+    assert (run_dir / "checkpoints" / "Model_last.npz").exists()
+    assert (run_dir / "checkpoints" / "Model_best.npz").exists()
+    # no periodic checkpoint in a 2-epoch run: the (epoch > evaluate_rate)
+    # guard matches the reference's periodic-save condition
+    if channels != "geom":
+        assert (run_dir / "Image_normalization_parameters.p").exists()
+
+    model_cfg = cfg_io.read_json(str(run_dir / "model_config.json"))
+    assert model_cfg.input_channels == channels
+
+    # ------------------------------ inference ------------------------------ #
+    eval_dataset = {
+        "name": "synthetic",
+        "raster_in": paths["raster_in"],
+        "raster_gt": paths["raster_gt"],
+        "allocation_strategy": "5-crossval_vertical",
+        "test_stripe": 1,
+        "area_type": "test",
+    }
+    if channels != "geom":
+        eval_dataset.update(path_image_list=paths["imagelist"],
+                            path_pairlist=paths["pairlist_single"])
+    eval_cfg = {
+        "datasets": [eval_dataset],
+        "model": {
+            "weights": str(run_dir / "checkpoints" / "Model_best.npz"),
+            "architecture": str(run_dir / "model_config.json"),
+            "normalization_geom": str(run_dir / "DSM_normalization_parameters.p"),
+        },
+        "general": {"tile_size": 16, "batch_size": 4},
+        "output": {"directory": str(tmp_path / "eval_out" / channels)},
+    }
+    if channels != "geom":
+        eval_cfg["model"]["normalization_image"] = str(
+            run_dir / "Image_normalization_parameters.p")
+    eval_cfg_path = tmp_path / "eval_cfg.json"
+    eval_cfg_path.write_text(json.dumps(eval_cfg))
+
+    import test as test_cli
+    _run_cli(test_cli.main, str(eval_cfg_path), monkeypatch)
+
+    ds_out = tmp_path / "eval_out" / channels / "synthetic"
+    if channels != "geom":
+        ds_out = ds_out / "Stereopair_0_1"
+    pred_files = list(ds_out.glob("dsm_prediction_test_area*.tif"))
+    assert pred_files, list(ds_out.iterdir())
+    stats_files = list(ds_out.glob("*statistics.txt"))
+    assert stats_files
+    stats_text = stats_files[0].read_text()
+    assert "REFINED DSM" in stats_text and "MAE" in stats_text
+
+    # The exported prediction covers the test stripe with valid data.
+    pred = raster_mod.open_raster(str(pred_files[0]))
+    assert pred.rows == 80  # full rows, stripe width in cols
+    assert pred.nodata == -9999
+    data = pred.band(1)
+    assert np.isfinite(data).all()
+    # A 2-epoch model should still be in a sane height range (outer skip).
+    valid = data[data != -9999]
+    assert abs(np.median(valid) - np.median(dsm)) < 50.0
+
+
+def test_infer_from_torch_checkpoint(make_geotiff, tmp_path, monkeypatch):
+    """Inference directly from a reference-format .pth checkpoint."""
+    import torch
+    sys.path.insert(0, os.path.dirname(__file__))
+    from torch_unet import TorchUNet
+
+    paths, dsm, gt = _write_scene(make_geotiff, tmp_path)
+
+    torch.manual_seed(0)
+    settings = dict(n_input_channels=1, start_kernel=4, max_filter_depth=8,
+                    depth=2, act_fn_encoder="relu", act_fn_decoder="relu",
+                    act_fn_bottleneck="relu", up_mode="transpose", do_BN=True,
+                    bias_conv_layer=True, outer_skip=True, outer_skip_BN=False)
+    model = TorchUNet(**settings)
+    weights_path = tmp_path / "Model_best.pth"
+    torch.save({"epoch": 0, "model_state_dict": model.state_dict()},
+               str(weights_path))
+
+    arch_path = tmp_path / "model_config.json"
+    arch_path.write_text(json.dumps({
+        "name": "UNet", "input_channels": "geom", "settings": settings}))
+    norm_path = tmp_path / "DSM_normalization_parameters.p"
+    import pickle
+    with open(norm_path, "wb") as f:
+        pickle.dump({"mean": None, "std": 4.0}, f)
+
+    eval_cfg = {
+        "datasets": [{"raster_in": paths["raster_in"], "name": "torchrun"}],
+        "model": {"weights": str(weights_path), "architecture": str(arch_path),
+                  "normalization_geom": str(norm_path)},
+        "general": {"tile_size": 16},
+        "output": {"directory": str(tmp_path / "eval_pth")},
+    }
+    cfg_path = tmp_path / "eval_pth.json"
+    cfg_path.write_text(json.dumps(eval_cfg))
+
+    import test as test_cli
+    _run_cli(test_cli.main, str(cfg_path), monkeypatch)
+
+    preds = list((tmp_path / "eval_pth" / "torchrun").glob("dsm_prediction*.tif"))
+    assert preds

@@ -1,0 +1,239 @@
+"""Device data pipeline: gather/mask/normalise parity with host oracles,
+augmentation consistency, blend stitching."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from resdepth_tpu.data.dataset import TileDataset
+from resdepth_tpu.data.pipeline import (BatchIndexIterator, batch_spec_for,
+                                        build_batch, device_put_dataset)
+from resdepth_tpu.data import normalization
+from resdepth_tpu.models.unet import UNetConfig, init_unet
+from resdepth_tpu.ops import blend
+from resdepth_tpu.geo import grid as grid_mod
+from resdepth_tpu.infer import predict_linear_blend
+
+
+def _scene(make_geotiff, rows=64, cols=80, n_images=3, nodata=-9999.0, seed=0):
+    rng = np.random.default_rng(seed)
+    gt = rng.normal(400.0, 8.0, (rows, cols)).astype(np.float32)
+    dsm = gt + rng.normal(0.0, 1.0, (rows, cols)).astype(np.float32)
+    dsm[5:8, 5:8] = nodata
+    gt[10:12, 4:6] = nodata
+    gt[20, 20] = 0.0  # strict-zero-mask quirk pixel
+    images = rng.normal(120.0, 25.0, (rows, cols, n_images)).astype(np.float32)
+    paths = {
+        "raster_in": make_geotiff("dsm.tif", dsm, nodata=nodata),
+        "raster_gt": make_geotiff("gt.tif", gt, nodata=nodata),
+        "image_list": [make_geotiff(f"img{j}.tif", images[..., j], nodata=nodata)
+                       for j in range(n_images)],
+    }
+    return paths, dsm, gt, images
+
+
+def _dataset(paths, rows=64, cols=80, **kwargs):
+    entry = {
+        "raster_in": paths["raster_in"], "raster_gt": paths["raster_gt"],
+        "image_list": paths["image_list"], "image_pairs": [(0, 1), (1, 2)],
+        "area_defn": {"x_extent": [(0, cols - 1)], "y_extent": [(0, rows - 1)]},
+        "n_samples": 8,
+    }
+    defaults = dict(input_channels="geom-stereo", tile_size=16,
+                    sampling_strategy="train", dsm_std=5.0, ortho_mean=120.0,
+                    ortho_std=25.0, seed=3)
+    defaults.update(kwargs)
+    return TileDataset(entry, **defaults)
+
+
+def test_build_batch_matches_host_oracle(make_geotiff):
+    paths, dsm, gt, images = _scene(make_geotiff)
+    ds = _dataset(paths)
+    rasters = device_put_dataset(ds)
+    spec = batch_spec_for(ds)
+
+    n = len(ds)
+    batch = build_batch(rasters, jnp.asarray(ds.positions),
+                        jnp.asarray(ds.pair_indices),
+                        jnp.zeros((n, 4), jnp.int32), jax.random.PRNGKey(0), spec)
+
+    t = ds.tile_size
+    for i in range(n):
+        y, x = ds.positions[i]
+        patch = dsm[y:y + t, x:x + t]
+        valid = patch != ds.nodata
+        mean = patch[valid].mean() if valid.any() else 0.0
+        # f32 device summation vs numpy: tolerance well under 1 mm in meters
+        np.testing.assert_allclose(float(batch["dsm_mean"][i]), mean, atol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(batch["input"][i, :, :, 0]), (patch - mean) / 5.0,
+            rtol=1e-4, atol=3e-4)
+        # loss mask: host oracle incl. strict-zero quirk
+        np.testing.assert_array_equal(
+            np.asarray(batch["loss_mask"][i, :, :, 0]).astype(bool),
+            ds.loss_mask_host(i))
+        # ortho channels: correct images, normalised
+        pair = ds.image_pairs[ds.pair_indices[i]]
+        for v, img_id in enumerate(pair):
+            np.testing.assert_allclose(
+                np.asarray(batch["input"][i, :, :, 1 + v]),
+                (images[y:y + t, x:x + t, img_id] - 120.0) / 25.0,
+                rtol=1e-5, atol=1e-5)
+
+
+def test_build_batch_val_bounds(make_geotiff):
+    paths, dsm, gt, _ = _scene(make_geotiff)
+    ds = _dataset(paths, sampling_strategy="val", input_channels="geom")
+    rasters = device_put_dataset(ds)
+    spec = batch_spec_for(ds)
+    assert spec.use_bounds
+
+    n = len(ds)
+    batch = build_batch(rasters, jnp.asarray(ds.positions),
+                        jnp.asarray(ds.pair_indices),
+                        jnp.asarray(ds.valid_bounds), jax.random.PRNGKey(0), spec)
+    for i in range(n):
+        np.testing.assert_array_equal(
+            np.asarray(batch["loss_mask"][i, :, :, 0]).astype(bool),
+            ds.loss_mask_host(i))
+
+
+def test_augmentation_consistent_across_channels(make_geotiff):
+    """Mask, target and inputs must receive the identical transform."""
+    paths, dsm, gt, _ = _scene(make_geotiff)
+    # target == input channel 0 when raster_gt == raster_in
+    entry = {
+        "raster_in": paths["raster_in"], "raster_gt": paths["raster_in"],
+        "area_defn": {"x_extent": [(0, 79)], "y_extent": [(0, 63)]},
+        "n_samples": 6,
+    }
+    ds = TileDataset(entry, input_channels="geom", tile_size=16,
+                     sampling_strategy="train", dsm_std=1.0, augment=True, seed=1)
+    rasters = device_put_dataset(ds)
+    spec = batch_spec_for(ds)
+    assert spec.augment
+    batch = build_batch(rasters, jnp.asarray(ds.positions),
+                        jnp.asarray(ds.pair_indices),
+                        jnp.zeros((len(ds), 4), jnp.int32),
+                        jax.random.PRNGKey(7), spec)
+    np.testing.assert_allclose(np.asarray(batch["input"][..., 0]),
+                               np.asarray(batch["target"][..., 0]),
+                               rtol=1e-6, atol=1e-6)
+    # augmentation actually permutes pixels for some sample
+    ds_plain = TileDataset(entry, input_channels="geom", tile_size=16,
+                           sampling_strategy="train", dsm_std=1.0, augment=False,
+                           seed=1)
+    plain = build_batch(device_put_dataset(ds_plain),
+                        jnp.asarray(ds_plain.positions),
+                        jnp.asarray(ds_plain.pair_indices),
+                        jnp.zeros((len(ds_plain), 4), jnp.int32),
+                        jax.random.PRNGKey(7), batch_spec_for(ds_plain))
+    assert not np.allclose(np.asarray(batch["input"]), np.asarray(plain["input"]))
+
+
+def test_in_pair_permutation(make_geotiff):
+    paths, _, _, images = _scene(make_geotiff)
+    ds = _dataset(paths, permute_images_within_pair=True)
+    ds.positions = np.zeros_like(ds.positions)  # same patch for all samples
+    rasters = device_put_dataset(ds)
+    spec = batch_spec_for(ds)
+    batch = build_batch(rasters, jnp.asarray(ds.positions),
+                        jnp.zeros(len(ds), jnp.int32),
+                        jnp.zeros((len(ds), 4), jnp.int32),
+                        jax.random.PRNGKey(5), spec)
+    ch1 = np.asarray(batch["input"][:, :, :, 1])
+    img0 = (images[:16, :16, 0] - 120.0) / 25.0
+    img1 = (images[:16, :16, 1] - 120.0) / 25.0
+    matches0 = [np.allclose(ch1[i], img0, atol=1e-5) for i in range(len(ds))]
+    matches1 = [np.allclose(ch1[i], img1, atol=1e-5) for i in range(len(ds))]
+    assert all(m0 or m1 for m0, m1 in zip(matches0, matches1))
+    assert any(matches0) and any(matches1)  # both orders occur
+
+
+def test_batch_iterator_pads_final_batch(make_geotiff):
+    paths, *_ = _scene(make_geotiff)
+    ds = _dataset(paths)  # 8 samples
+    it = BatchIndexIterator(ds, batch_size=3, shuffle=False)
+    batches = list(it)
+    assert len(batches) == 3
+    for positions, pair_idx, bounds, weights in batches:
+        assert positions.shape == (3, 2) and weights.shape == (3,)
+    assert batches[-1][3].tolist() == [1.0, 1.0, 0.0]
+
+
+def test_sigma_sat_matches_exact(make_geotiff):
+    paths, dsm, *_ = _scene(make_geotiff)
+    ds = _dataset(paths)
+    fast = normalization.sigma_from_positions(ds.dsm_input, ds.nodata,
+                                              ds.positions, ds.tile_size)
+    exact = normalization.sigma_from_positions(ds.dsm_input, ds.nodata,
+                                               ds.positions, ds.tile_size,
+                                               exact=True)
+    np.testing.assert_allclose(fast, exact, rtol=1e-9)
+
+
+# ------------------------------- stitching -------------------------------- #
+
+def test_blend_weights_partition_of_unity():
+    for region, tile, stride in [((0, 63, 0, 63), 16, 8), ((0, 53, 0, 45), 16, 8),
+                                 ((0, 31, 0, 31), 16, 16), ((3, 60, 5, 50), 16, 8)]:
+        y0, y1, x0, x1 = region
+        area = {"x_extent": [(x0, x1)], "y_extent": [(y0, y1)]}
+        positions, borders = grid_mod.create_regular_grid(area, tile, stride)
+        wy, wx = blend.weight_table(tile, stride, borders)
+        acc = np.zeros((y1 + 1, x1 + 1))
+        for i, (uly, ulx) in enumerate(positions):
+            acc[uly:uly + tile, ulx:ulx + tile] += np.outer(wy[i], wx[i])
+        np.testing.assert_allclose(acc[y0:y1 + 1, x0:x1 + 1], 1.0, atol=1e-5)
+
+
+def test_predict_linear_blend_identity_model(make_geotiff):
+    """Zero weights + outer skip == identity on the DSM; stitching must then
+    reproduce the input raster exactly inside the region."""
+    paths, dsm, *_ = _scene(make_geotiff)
+    entry = {"raster_in": paths["raster_in"],
+             "area_defn": {"x_extent": [(0, 79)], "y_extent": [(0, 63)]}}
+    ds = TileDataset(entry, input_channels="geom", tile_size=16,
+                     sampling_strategy="test", dsm_std=5.0)
+    config = UNetConfig(n_input_channels=1, start_kernel=4, max_filter_depth=8,
+                        depth=2, do_BN=False, bias_conv_layer=False)
+    params, bn_state = init_unet(jax.random.PRNGKey(0), config)
+    params = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+    out = predict_linear_blend(config, params, bn_state, ds, batch_size=4)
+    np.testing.assert_allclose(out, dsm, rtol=1e-4, atol=2e-3)
+
+
+def test_predict_linear_blend_matches_host_stitch(make_geotiff):
+    """Device scatter-add stitch == naive host stitching of per-tile outputs."""
+    paths, dsm, *_ = _scene(make_geotiff, rows=48, cols=48)
+    entry = {"raster_in": paths["raster_in"],
+             "area_defn": {"x_extent": [(0, 47)], "y_extent": [(0, 47)]}}
+    ds = TileDataset(entry, input_channels="geom", tile_size=16,
+                     sampling_strategy="test", dsm_std=5.0)
+    config = UNetConfig(n_input_channels=1, start_kernel=4, max_filter_depth=8,
+                        depth=2)
+    params, bn_state = init_unet(jax.random.PRNGKey(1), config)
+
+    out = predict_linear_blend(config, params, bn_state, ds, batch_size=3)
+
+    # Host oracle: run the model per tile, denormalise, blend with weights.
+    from resdepth_tpu.models.unet import apply_unet
+    expected = np.zeros_like(dsm)
+    t = ds.tile_size
+    for i in range(len(ds)):
+        y, x = ds.positions[i]
+        patch = dsm[y:y + t, x:x + t]
+        valid = patch != ds.nodata
+        mean = patch[valid].mean() if valid.any() else 0.0
+        norm = (patch - mean) / ds.dsm_std
+        pred, _ = apply_unet(config, params, bn_state,
+                             jnp.asarray(norm)[None, :, :, None], train=False)
+        pred = np.asarray(pred)[0, :, :, 0] * ds.dsm_std + mean
+        weights = blend.tile_weights(t, ds.stride, ds.valid_bounds[i])
+        expected[y:y + t, x:x + t] += pred * weights
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-3)

@@ -1,0 +1,320 @@
+#!/usr/bin/env python
+"""ResDepth-TPU training entry point: ``python train.py config.json``.
+
+JSON-config contract and artifact layout preserved from the reference
+(/root/reference/train.py:34-220): a timestamped run directory containing
+run.log / training.log, config.json + config.json.orig, model_config.json,
+DSM/Image normalization parameter files, TensorBoard events, and a
+checkpoints/ directory with best/periodic/last roles.
+
+TPU-native execution: rasters live in HBM, batch assembly + forward/backward
++ optimizer run as one jitted program, batches shard over a data-parallel
+mesh (gradients and BatchNorm statistics psum over ICI).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import os
+import shutil
+import sys
+from argparse import ArgumentParser
+from pathlib import Path
+
+import numpy as np
+
+from resdepth_tpu import orchestration
+from resdepth_tpu.config import io as cfg_io
+from resdepth_tpu.config import validate_train
+from resdepth_tpu.config.defaults import default_cfg
+from resdepth_tpu.data import control_files, normalization
+from resdepth_tpu.data.dataset import TileDataset
+from resdepth_tpu.data.pipeline import (BatchIndexIterator, batch_spec_for,
+                                        device_put_dataset)
+from resdepth_tpu.models import torch_import
+from resdepth_tpu.models.unet import init_unet, param_count, unet_config_from_settings
+from resdepth_tpu.train import checkpoint as ckpt_io
+from resdepth_tpu.train.optim import build_optimizer
+from resdepth_tpu.train.schedulers import build_scheduler
+from resdepth_tpu.train.step import init_train_state, make_eval_step, make_train_step
+from resdepth_tpu.train.trainer import Trainer
+from resdepth_tpu.utils import fs
+from resdepth_tpu.utils.logging import setup_logger
+
+FREQ_AVERAGE_TRAIN_LOSS = 20  # reference constant (lib/utils.py:406)
+
+parser = ArgumentParser(description="ResDepth-TPU: train a residual DSM "
+                                    "refinement UNet from a JSON configuration.")
+parser.add_argument("config_file", type=str, help="JSON configuration file")
+
+
+def _choose_mesh(batch_size: int, want_parallel: bool, axis_name: str):
+    """Largest device count dividing the batch size (batches shard evenly)."""
+    import jax
+    from resdepth_tpu.parallel.mesh import data_mesh
+
+    n_avail = len(jax.devices())
+    if not want_parallel:
+        n_avail = 1
+    n_use = 1
+    for k in range(1, n_avail + 1):
+        if batch_size % k == 0:
+            n_use = k
+    return data_mesh(n_use, axis_name)
+
+
+def _build_datasets(cfg_data, cfg, strategy, dsm_std, images_mean, images_std,
+                    seed, use_all_stereo_pairs, permute, augment):
+    datasets = []
+    for i, entry in enumerate(cfg_data):
+        datasets.append(TileDataset(
+            entry,
+            input_channels=cfg.model.input_channels,
+            tile_size=cfg.training_settings.tile_size,
+            sampling_strategy=strategy,
+            dsm_mean=None,
+            dsm_std=dsm_std,
+            ortho_mean=images_mean,
+            ortho_std=images_std,
+            use_all_stereo_pairs=use_all_stereo_pairs,
+            permute_images_within_pair=permute,
+            augment=augment,
+            seed=seed + i,
+        ))
+    return datasets
+
+
+def _warm_start_artifacts(pretrained_path, output_dir, checkpoint_dir,
+                          tboard_log_dir, logger):
+    """Copy prior-run artifacts into the new run dir (lib/utils.py:415-436)."""
+    experiment_dir = Path(pretrained_path).parent.parent
+    prior_tboard = experiment_dir.parent / "logs" / experiment_dir.name
+    if prior_tboard.is_dir():
+        for tb_file in prior_tboard.glob("events.*"):
+            shutil.copy(tb_file, Path(tboard_log_dir) / tb_file.name)
+    prior_log = experiment_dir / "training.log"
+    if prior_log.exists():
+        shutil.copy(prior_log, os.path.join(output_dir, "training.log"))
+    for name in ("Model_best.npz", "Model_best.pth"):
+        prior_best = Path(pretrained_path).parent / name
+        if prior_best.exists():
+            shutil.copy(prior_best, Path(checkpoint_dir) / name)
+            break
+
+
+def main() -> None:
+    args = parser.parse_args()
+    cfg_file = args.config_file
+
+    title = "Running ResDepth-TPU: Training"
+    print("\n{}\n{}\n".format(title, "=" * len(title)))
+
+    if not fs.file_exists(cfg_file):
+        print(f"ERROR: Cannot find the configuration file: {cfg_file}")
+        sys.exit(1)
+    cfg_user = cfg_io.read_json(cfg_file)
+    if not cfg_user:
+        sys.exit(1)
+
+    output_directory = orchestration.create_output_directory(cfg_user)
+    log_file = os.path.join(output_directory, "run.log") if output_directory else None
+    logger = setup_logger("root_logger", level=logging.INFO,
+                          log_to_console=True, log_file=log_file)
+
+    logger.info(f"Validate the configuration file:\t{cfg_file}\n\n")
+    if validate_train.validate_cfg_file(cfg_user, logger) is False:
+        sys.exit(1)
+    validate_train.augment_dataset_args(cfg_user)
+
+    cfg = cfg_io.merge(default_cfg(), cfg_user)
+    cfg_io.remove_obsolete_keys(cfg)
+    cfg.output.output_directory = output_directory
+    tboard_root = cfg.output.get("tboard_log_dir",
+                                 os.path.join(output_directory, "logs"))
+    cfg.output.tboard_log_dir = os.path.join(tboard_root,
+                                             os.path.basename(output_directory))
+
+    logger.info("\n\nSettings\n--------\n")
+    cfg_io.print_json(cfg, logger=logger)
+
+    seed = cfg.general.random_seed if cfg.general.random_seed is not None else 0
+    np.random.seed(seed)
+
+    # --------------------- data allocation & pair lists --------------------- #
+    logger.info("\n\n\nData initialization\n-------------------\n")
+    if cfg.model.input_channels != "geom":
+        logger.info("Read image pairs...\n")
+        if orchestration.read_image_pairs(cfg, logger) is False:
+            sys.exit(1)
+    logger.info("Perform data allocation...\n")
+    orchestration.allocate_area(cfg)
+
+    cfg_traindata = orchestration.prepare_dataset_configuration(cfg, "train")
+    cfg_valdata = orchestration.prepare_dataset_configuration(cfg, "val")
+
+    # --------------------------- normalization ---------------------------- #
+    logger.info("\n\nData normalization\n-------------------\n")
+    logger.info("Compute standard deviation over all centered DSM training patches...\n")
+    norm_datasets = _build_datasets(cfg_traindata, cfg, "train", 1.0, None, None,
+                                    seed, False, False, False)
+    all_stds = np.concatenate([
+        normalization.patch_stds_from_positions(
+            ds.dsm_input, ds.nodata, ds.positions, ds.tile_size)
+        for ds in norm_datasets])
+    dsm_std = normalization.robust_mean_std(all_stds)
+    logger.info("Standard deviation:\t{:.3f} m\n".format(dsm_std))
+    del norm_datasets
+
+    if cfg.model.input_channels != "geom":
+        logger.info("\nCompute satellite image normalization parameters...\n")
+        images_mean, images_std = normalization.compute_satellite_image_normalization(
+            cfg_traindata)
+        logger.info("Mean:\t\t\t{:.3f}".format(images_mean))
+        logger.info("Standard deviation:\t{:.3f}\n".format(images_std))
+    else:
+        images_mean, images_std = None, None
+
+    # ------------------------------ datasets ------------------------------- #
+    logger.info("\nInitialize data pipelines...\n")
+    train_datasets = _build_datasets(
+        cfg_traindata, cfg, "train", dsm_std, images_mean, images_std, seed,
+        cfg.stereopair_settings.use_all_stereo_pairs,
+        cfg.stereopair_settings.permute_images_within_pair,
+        cfg.training_settings.augment)
+    val_datasets = _build_datasets(
+        cfg_valdata, cfg, "val", dsm_std, images_mean, images_std, seed,
+        True, False, False)
+
+    # ----------------------- run artifacts / control files ----------------- #
+    logger.info("\nPrepare output folders and files\n--------------------------------\n")
+    cfg.output.checkpoint_dir = os.path.join(output_directory, "checkpoints")
+    fs.make_dir(cfg.output.checkpoint_dir)
+    fs.make_dir(cfg.output.tboard_log_dir)
+    logger.info(f"\nModel weights will be stored in:\n{cfg.output.checkpoint_dir}\n")
+
+    cfg.output.dsm_normalization = os.path.join(
+        output_directory, "DSM_normalization_parameters.p")
+    control_files.write_normalization_params_to_file(
+        cfg.output.dsm_normalization, None, dsm_std)
+    logger.info(f"Writing DSM normalization parameters to file:\n"
+                f"{cfg.output.dsm_normalization}\n")
+
+    if cfg.model.input_channels != "geom":
+        cfg.output.satellite_image_normalization = os.path.join(
+            output_directory, "Image_normalization_parameters.p")
+        control_files.write_normalization_params_to_file(
+            cfg.output.satellite_image_normalization, images_mean, images_std)
+        logger.info(f"Writing satellite image normalization parameters to file:\n"
+                    f"{cfg.output.satellite_image_normalization}\n")
+
+    cfg_io.write_json(cfg, os.path.join(output_directory, "config.json"))
+    cfg_io.write_json(cfg_user, os.path.join(output_directory, "config.json.orig"))
+
+    # -------------------------------- model -------------------------------- #
+    logger.info("\nPrepare training\n----------------\n")
+    import jax
+
+    args_model = orchestration.collect_model_args(cfg)
+    cfg_io.write_json(args_model, os.path.join(output_directory, "model_config.json"))
+    model_config = unet_config_from_settings(args_model.settings)
+
+    params, bn_state = init_unet(jax.random.PRNGKey(seed), model_config)
+    logger.info(f"UNet parameters: {param_count(params):,}")
+
+    if cfg.output.get("plot_model_txt"):
+        path = os.path.join(output_directory, "model_parameters.txt")
+        with open(path, "w") as f:
+            f.write(f"UNetConfig: {model_config}\n")
+            f.write(f"Total parameters: {param_count(params):,}\n")
+        logger.info(f"Writing model architecture to file: {path}\n")
+
+    tx = build_optimizer(cfg.optimizer.name, cfg.optimizer.weight_decay)
+    scheduler = build_scheduler(cfg.scheduler, cfg.optimizer.learning_rate)
+    state = init_train_state(params, bn_state, tx, cfg.optimizer.learning_rate)
+
+    # ------------------------------ warm start ----------------------------- #
+    pretrained_path = cfg.model.get("pretrained_path")
+    resume_meta = None
+    if pretrained_path:
+        if pretrained_path.endswith(".pth"):
+            logger.info(f"Importing reference checkpoint: {pretrained_path}")
+            params, bn_state = torch_import.import_checkpoint(
+                pretrained_path, model_config)
+            state = init_train_state(params, bn_state, tx,
+                                     cfg.optimizer.learning_rate)
+            blob_epoch = torch_import.load_epoch(pretrained_path)
+            resume_meta = {"epoch": blob_epoch, "loss_val": None,
+                           "scheduler_state": None}
+        else:
+            logger.info(f"Restoring checkpoint: {pretrained_path}")
+            resume_meta, params, bn_state, opt_state = ckpt_io.load_checkpoint(
+                pretrained_path, params_template=state.params,
+                bn_template=state.bn_state, opt_template=state.opt_state)
+            state = state.replace(params=params, bn_state=bn_state,
+                                  opt_state=opt_state)
+        _warm_start_artifacts(pretrained_path, output_directory,
+                              cfg.output.checkpoint_dir,
+                              cfg.output.tboard_log_dir, logger)
+
+    # -------------------------------- steps -------------------------------- #
+    batch_size = cfg.training_settings.batch_size
+    mesh = _choose_mesh(batch_size, cfg.tpu.data_parallel, cfg.tpu.mesh_axis)
+    logger.info(f"Data-parallel mesh: {mesh.shape}")
+
+    import jax.numpy as jnp
+    compute_dtype = jnp.bfloat16 if cfg.tpu.compute_dtype == "bfloat16" else jnp.float32
+
+    train_spec = batch_spec_for(train_datasets[0])
+    val_spec = batch_spec_for(val_datasets[0])
+    train_step = make_train_step(model_config, train_spec, tx, mesh=mesh,
+                                 axis_name=cfg.tpu.mesh_axis,
+                                 compute_dtype=compute_dtype,
+                                 donate=cfg.tpu.donate_state)
+    eval_step = make_eval_step(model_config, val_spec, mesh=mesh,
+                               axis_name=cfg.tpu.mesh_axis,
+                               compute_dtype=compute_dtype)
+
+    train_loaders = [(device_put_dataset(ds),
+                      BatchIndexIterator(ds, batch_size, shuffle=True,
+                                         seed=seed + 1000 + i))
+                     for i, ds in enumerate(train_datasets)]
+    val_loaders = [(device_put_dataset(ds),
+                    BatchIndexIterator(ds, batch_size, shuffle=False))
+                   for ds in val_datasets]
+
+    hparams = {
+        "batch_size": batch_size,
+        "lr_initial": cfg.optimizer.learning_rate,
+        "optimizer": cfg.optimizer.name,
+        "scheduler": cfg.scheduler.name if cfg.scheduler.enabled else "None",
+        "patience": cfg.scheduler.settings.get("patience", -1),
+        "step_size": cfg.scheduler.settings.get("step_size", -1),
+    }
+
+    trainer = Trainer(
+        state=state, train_step=train_step, eval_step=eval_step,
+        train_loaders=train_loaders, val_loaders=val_loaders,
+        scheduler=scheduler, n_epochs=cfg.training_settings.n_epochs,
+        evaluate_rate=cfg.general.evaluate_rate,
+        save_model_rate=cfg.general.save_model_rate,
+        freq_average_train_loss=FREQ_AVERAGE_TRAIN_LOSS,
+        checkpoint_dir=cfg.output.checkpoint_dir,
+        log_file=os.path.join(output_directory, "training.log"),
+        tboard_log_dir=cfg.output.tboard_log_dir,
+        metrics_jsonl=os.path.join(output_directory, "metrics.jsonl"),
+        hparams=hparams, rng_seed=seed)
+
+    if resume_meta is not None:
+        trainer.resume_from(resume_meta)
+    else:
+        trainer.logger.info("\nStart training from scratch.\n")
+
+    trainer.train()
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 2:
+        parser.print_help()
+    else:
+        main()
