@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Benchmark: flagship-model tile throughput, TPU vs the reference stack.
+
+Headline metric (BASELINE.md north star): 256 px stereo-UNet inference
+throughput in tiles/sec/chip on the TPU, versus the reference's
+PyTorch-CPU throughput measured locally on this machine (the reference
+publishes no numbers — BASELINE.md). Both sides run the identical topology
+(depth-5 UNet, start 64, cap 512, 3 input channels) in eval mode at batch
+size BATCH.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tiles/sec/chip", "vs_baseline": N}
+plus auxiliary measurements on stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+TILE = 256
+BATCH = 32
+TIMED_ITERS = 16
+TORCH_TILES = 4
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bench_tpu(compute_dtype_name: str = "float32") -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from resdepth_tpu.models.unet import apply_unet, flagship_config, init_unet
+
+    config = flagship_config("geom-stereo")
+    params, bn_state = init_unet(jax.random.PRNGKey(0), config)
+    compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
+
+    @jax.jit
+    def forward(params, bn_state, x):
+        y, _ = apply_unet(config, params, bn_state, x.astype(compute_dtype),
+                          train=False)
+        # Reduce on device: the bench measures model throughput, not the
+        # host tunnel's 4 MB/tile output transfer (production keeps outputs
+        # on device for stitching). Fetching the scalar forces completion.
+        return y.astype(jnp.float32).sum()
+
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(BATCH, TILE, TILE, 3)).astype(np.float32))
+
+    t0 = time.perf_counter()
+    float(forward(params, bn_state, x))
+    log(f"[tpu/{compute_dtype_name}] compile+first-step: "
+        f"{time.perf_counter() - t0:.1f}s on {jax.devices()[0].platform}")
+
+    # Pipelined dispatch with a full fetch of EVERY output: under the axon
+    # relay, block_until_ready on only the final output under-reports; each
+    # per-iteration scalar fetch is cheap and forces true completion.
+    xs = [x + i for i in range(TIMED_ITERS)]
+    t0 = time.perf_counter()
+    outs = [forward(params, bn_state, xi) for xi in xs]
+    total = sum(float(o) for o in outs)
+    elapsed = time.perf_counter() - t0
+    assert np.isfinite(total)
+    tiles_per_sec = BATCH * TIMED_ITERS / elapsed
+    log(f"[tpu/{compute_dtype_name}] {tiles_per_sec:.1f} tiles/sec "
+        f"({elapsed / TIMED_ITERS * 1e3:.1f} ms/batch of {BATCH})")
+    return tiles_per_sec
+
+
+def bench_torch_cpu() -> float:
+    import torch
+
+    torch.set_num_threads(max(1, torch.get_num_threads()))
+
+    import torch.nn as nn
+
+    def conv_bn_act(cin, cout):
+        return nn.Sequential(nn.Conv2d(cin, cout, 3, padding=1, bias=False),
+                             nn.BatchNorm2d(cout), nn.ReLU())
+
+    class RefUNet(nn.Module):
+        """Reference topology (depth 5, start 64, cap 512, additive skips)."""
+
+        def __init__(self, cin=3, start=64, cap=512, depth=5):
+            super().__init__()
+            widths = [min(start * 2 ** i, cap) for i in range(depth)]
+            self.depth = depth
+            self.enc = nn.ModuleList()
+            prev = cin
+            for w in widths:
+                self.enc.append(conv_bn_act(prev, w))
+                prev = w
+            self.pool = nn.MaxPool2d(2, 2)
+            self.mid = conv_bn_act(widths[-1], widths[-1])
+            rev = widths[::-1]
+            self.up = nn.ModuleList(
+                nn.ConvTranspose2d(rev[i], rev[i], 2, stride=2)
+                for i in range(depth))
+            self.dec = nn.ModuleList(
+                conv_bn_act(rev[i], rev[i + 1]) for i in range(depth - 1))
+            self.last = nn.Conv2d(start, 1, 3, padding=1)
+
+        def forward(self, x):
+            skips = []
+            out = x
+            for enc in self.enc:
+                out = enc(out)
+                skips.append(out)
+                out = self.pool(out)
+            out = self.mid(out)
+            for i in range(self.depth):
+                out = skips[-1 - i] + self.up[i](out)
+                if i < self.depth - 1:
+                    out = self.dec[i](out)
+            return self.last(out) + x[:, 0:1]
+
+    model = RefUNet().eval()
+    x = torch.randn(1, 3, TILE, TILE)
+    with torch.no_grad():
+        model(x)  # warmup
+        t0 = time.perf_counter()
+        for _ in range(TORCH_TILES):
+            model(x)
+        elapsed = time.perf_counter() - t0
+    tiles_per_sec = TORCH_TILES / elapsed
+    log(f"[torch-cpu] {tiles_per_sec:.2f} tiles/sec "
+        f"({elapsed / TORCH_TILES * 1e3:.0f} ms/tile, "
+        f"{torch.get_num_threads()} threads)")
+    return tiles_per_sec
+
+
+def main() -> None:
+    tpu_f32 = bench_tpu("float32")
+    try:
+        tpu_bf16 = bench_tpu("bfloat16")
+    except Exception as exc:  # bf16 is auxiliary; never fail the bench on it
+        log(f"[tpu/bfloat16] skipped: {exc}")
+        tpu_bf16 = None
+    torch_cpu = bench_torch_cpu()
+
+    if tpu_bf16:
+        log(f"[summary] bf16 speedup over f32: {tpu_bf16 / tpu_f32:.2f}x")
+    print(json.dumps({
+        "metric": "tile_throughput_256px_stereo_unet_f32",
+        "value": round(tpu_f32, 2),
+        "unit": "tiles/sec/chip",
+        "vs_baseline": round(tpu_f32 / torch_cpu, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -185,6 +185,15 @@ def _lzw_decode_py(data: bytes) -> bytes:
 
 def _lzw_encode(data: bytes) -> bytes:
     """Encode TIFF-variant LZW (for interop with LZW-expecting consumers)."""
+    try:
+        from resdepth_tpu.geo import _native
+        return _native.lzw_encode(data)
+    except Exception:
+        pass
+    return _lzw_encode_py(data)
+
+
+def _lzw_encode_py(data: bytes) -> bytes:
     CLEAR, EOI = 256, 257
     out = bytearray()
     bitbuf = 0
@@ -229,6 +238,15 @@ def _lzw_encode(data: bytes) -> bytes:
 
 
 def _packbits_decode(data: bytes) -> bytes:
+    try:
+        from resdepth_tpu.geo import _native
+        return _native.packbits_decode(data)
+    except Exception:
+        pass
+    return _packbits_decode_py(data)
+
+
+def _packbits_decode_py(data: bytes) -> bytes:
     out = bytearray()
     i = 0
     n = len(data)

@@ -35,6 +35,7 @@ from resdepth_tpu.data.pipeline import (BatchSpec, batch_spec_for, build_batch,
                                         device_put_dataset)
 from resdepth_tpu.models.unet import UNetConfig, apply_unet
 from resdepth_tpu.ops import blend
+from resdepth_tpu.ops.pallas_stitch import stitch_tiles
 
 
 def _pad_round_up(array, n, pad_value=0):
@@ -46,10 +47,7 @@ def _pad_round_up(array, n, pad_value=0):
 
 
 def _make_scene_fn(config: UNetConfig, spec: BatchSpec, shape, dsm_std,
-                   compute_dtype, mesh, axis_name):
-    tile = spec.tile_size
-    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (1, tile, 1), 1)
-    cols_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tile), 2)
+                   compute_dtype, mesh, axis_name, use_pallas):
 
     def scene_fn(params, bn_state, rasters, pos_b, pair_b, wy_b, wx_b):
         zeros_bounds = jnp.zeros((pos_b.shape[1], 4), jnp.int32)
@@ -61,13 +59,11 @@ def _make_scene_fn(config: UNetConfig, spec: BatchSpec, shape, dsm_std,
             x = batch["input"].astype(compute_dtype)
             pred, _ = apply_unet(config, params, bn_state, x, train=False)
             pred = pred[..., 0].astype(jnp.float32)
-            pred = pred * dsm_std + batch["dsm_mean"][:, None, None]
-
-            weights = wy[:, :, None] * wx[:, None, :]
-            weighted = pred * weights
-            row_idx = pos[:, 0, None, None] + rows_iota
-            col_idx = pos[:, 1, None, None] + cols_iota
-            carry = carry.at[row_idx, col_idx].add(weighted)
+            # Denormalisation + blend weighting + overlap-add fuse into the
+            # stitch op (Pallas kernel on TPU, scatter-add elsewhere).
+            carry = stitch_tiles(carry, pred, pos, wy, wx,
+                                 batch["dsm_mean"], dsm_std,
+                                 use_pallas=use_pallas)
             return carry, None
 
         out = jnp.zeros(shape, jnp.float32)
@@ -88,7 +84,7 @@ def _make_scene_fn(config: UNetConfig, spec: BatchSpec, shape, dsm_std,
 def predict_linear_blend(config: UNetConfig, params, bn_state, ds: TileDataset,
                          *, batch_size: int = 32, mesh=None,
                          axis_name: str = "data", compute_dtype=jnp.float32,
-                         rasters=None) -> np.ndarray:
+                         rasters=None, use_pallas: bool | None = None) -> np.ndarray:
     """Refine a whole scene; returns the blended refined DSM (rows, cols).
 
     ``ds`` must be a 'test'-strategy TileDataset (overlapping grid). Interface
@@ -125,8 +121,11 @@ def predict_linear_blend(config: UNetConfig, params, bn_state, ds: TileDataset,
     wy_b = wy.reshape(n_steps, per_step, tile)
     wx_b = wx.reshape(n_steps, per_step, tile)
 
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
     scene_fn = _make_scene_fn(config, spec, ds.dsm_input.shape, ds.dsm_std,
                               compute_dtype, mesh,
-                              axis_name if mesh is not None else None)
+                              axis_name if mesh is not None else None,
+                              use_pallas)
     out = scene_fn(params, bn_state, rasters, pos_b, pair_b, wy_b, wx_b)
     return np.asarray(out)

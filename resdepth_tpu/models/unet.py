@@ -195,16 +195,22 @@ def _activation(x, act_fn, act_params):
     return jnp.where(x >= 0, x, alpha * x)
 
 
+def _precision(x):
+    # With f32 inputs, XLA's DEFAULT precision runs convs in bf16 passes
+    # (~5e-2 matmul error): HIGHEST keeps true f32 semantics for the parity
+    # budget. With bf16 inputs, bf16-multiply/f32-accumulate IS the native
+    # single-pass MXU mode — requesting HIGHEST there forces a slow
+    # multi-pass upcast, so DEFAULT is correct for the fast path.
+    return (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
 def _conv(x, layer, padding):
-    # Precision note: with f32 inputs, XLA's DEFAULT precision runs convs in
-    # bf16 passes (~5e-2 matmul error). HIGHEST keeps true f32 semantics for
-    # the parity budget; bf16 speed comes from casting inputs to bf16
-    # (compute_dtype knob), where HIGHEST is the native single-pass mode.
     kernel = layer["kernel"].astype(x.dtype)
     out = jax.lax.conv_general_dilated(
         x, kernel, window_strides=(1, 1), padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_precision(x),
         preferred_element_type=jnp.float32)
     if "bias" in layer:
         out = out + layer["bias"].astype(jnp.float32)
@@ -275,7 +281,7 @@ def _upconv(x, up_params, up_mode):
         # (N,H,W,C) x (C, 2*2*O) -> (N,H,W,2,2,O)
         k2 = kernel.transpose(2, 0, 1, 3).reshape(kernel.shape[2], 4 * out_ch)
         out = jnp.dot(x.reshape(-1, x.shape[-1]), k2,
-                      precision=jax.lax.Precision.HIGHEST,
+                      precision=_precision(x),
                       preferred_element_type=jnp.float32)
         out = out.reshape(n, h, w, 2, 2, out_ch)
         out = out.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, out_ch)

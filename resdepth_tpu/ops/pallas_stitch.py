@@ -1,0 +1,125 @@
+"""Pallas TPU kernel: weighted overlap-add of tiles into a scene raster.
+
+The inference stitch (infer/tiled.py) accumulates B weighted (T, T) tiles
+into the device-resident scene raster per step. The XLA formulation is a
+scatter-add (``out.at[rows, cols].add(...)``) which lowers to a generic
+scatter — correct, but it materialises (B, T, T) index tensors and cannot
+exploit that each tile is a contiguous rectangle.
+
+This kernel exploits exactly that: a 1-D sequential grid over tiles (TPU
+grid programs execute in order, so read-modify-write across overlapping
+tiles is race-free by construction); per program it
+
+  1. DMAs the tile's (T, T) destination window HBM -> VMEM,
+  2. fuses denormalisation (x * sigma + per-tile mean) and the separable
+     blend-weight outer product (wy ⊗ wx) into the accumulate on the VPU,
+  3. DMAs the window back VMEM -> HBM.
+
+The scene raster is input/output-aliased, so the accumulation is in-place.
+Tile positions arrive via scalar prefetch (PrefetchScalarGridSpec) — they
+drive the dynamic DMA offsets and must be known before the body runs.
+
+Falls back transparently to the XLA scatter-add on non-TPU backends
+(``stitch_tiles`` dispatches; the Pallas path is also unit-tested in
+interpreter mode against the XLA path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _stitch_kernel(pos_ref, scene_ref, tiles_ref, wy_ref, wx_ref, mean_ref,
+                   sigma_ref, out_ref, scratch, sem_in, sem_out):
+    i = pl.program_id(0)
+    y = pos_ref[i, 0]
+    x = pos_ref[i, 1]
+    tile = tiles_ref.shape[1]
+
+    # On the first program, the aliased output already holds the input scene
+    # (input_output_aliases) — nothing to initialise.
+    load = pltpu.make_async_copy(
+        out_ref.at[pl.ds(y, tile), pl.ds(x, tile)], scratch, sem_in)
+    load.start()
+
+    weighted = (tiles_ref[0] * sigma_ref[0] + mean_ref[i]) * (
+        wy_ref[i][:, None] * wx_ref[i][None, :])
+
+    load.wait()
+    scratch[:] = scratch[:] + weighted
+
+    store = pltpu.make_async_copy(
+        scratch, out_ref.at[pl.ds(y, tile), pl.ds(x, tile)], sem_out)
+    store.start()
+    store.wait()
+
+    del scene_ref  # aliased with out_ref; listed only for the alias contract
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
+def stitch_tiles_pallas(scene, tiles, positions, wy, wx, means, sigma,
+                        interpret: bool = False):
+    """scene[y_i:y_i+T, x_i:x_i+T] += (tiles_i * sigma + means_i) * wy_i ⊗ wx_i.
+
+    scene: (rows, cols) f32 (donated); tiles: (B, T, T); positions: (B, 2)
+    int32; wy/wx: (B, T); means: (B,); sigma: scalar.
+    """
+    b, tile, _ = tiles.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),                # scene (HBM)
+            pl.BlockSpec((1, tile, tile), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),               # tiles
+            # (B, T) weight tables stay whole in VMEM (tiny); per-tile rows
+            # are indexed by program id — a (1, T) block would violate the
+            # TPU sublane-divisibility rule on the second-to-last dim.
+            pl.BlockSpec(memory_space=pltpu.VMEM),               # wy
+            pl.BlockSpec(memory_space=pltpu.VMEM),               # wx
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # means
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # sigma
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((tile, tile), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        _stitch_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(scene.shape, scene.dtype),
+        input_output_aliases={1: 0},  # scene (after the prefetch arg) -> out
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(positions, scene, tiles, wy, wx,
+      means.astype(jnp.float32), jnp.asarray(sigma, jnp.float32).reshape(1))
+
+
+def stitch_tiles_xla(scene, tiles, positions, wy, wx, means, sigma):
+    """XLA scatter-add reference implementation (any backend)."""
+    tile = tiles.shape[1]
+    pred = tiles * sigma + means[:, None, None]
+    weighted = pred * (wy[:, :, None] * wx[:, None, :])
+    rows = positions[:, 0, None, None] + jax.lax.broadcasted_iota(
+        jnp.int32, (1, tile, 1), 1)
+    cols = positions[:, 1, None, None] + jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, tile), 2)
+    return scene.at[rows, cols].add(weighted)
+
+
+def stitch_tiles(scene, tiles, positions, wy, wx, means, sigma,
+                 use_pallas: bool | None = None):
+    """Dispatch: Pallas kernel on TPU, XLA scatter-add elsewhere."""
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+    if use_pallas:
+        return stitch_tiles_pallas(scene, tiles, positions, wy, wx, means, sigma)
+    return stitch_tiles_xla(scene, tiles, positions, wy, wx, means, sigma)

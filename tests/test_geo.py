@@ -214,3 +214,47 @@ def test_allocate_data_invalid_args(make_geotiff):
         allocation.allocate_data(path, "bogus", 0)
     with pytest.raises(ValueError):
         allocation.allocate_data(path, "5-crossval_vertical", 7)
+
+
+# ----------------------------- native codec ------------------------------- #
+
+def test_native_lzw_matches_python():
+    """C++ LZW codec == pure-Python implementation, both directions."""
+    pytest.importorskip("ctypes")
+    from resdepth_tpu.geo import _native
+
+    rng = np.random.default_rng(5)
+    cases = [
+        b"",
+        b"\x00" * 10000,
+        bytes(rng.integers(0, 256, 20000, dtype=np.uint8)),   # incompressible
+        bytes(rng.integers(0, 4, 50000, dtype=np.uint8)),     # forces table resets
+        np.arange(3000, dtype=np.float32).tobytes(),
+    ]
+    for payload in cases:
+        enc_native = _native.lzw_encode(payload)
+        enc_py = tiff._lzw_encode_py(payload)
+        # Both encoders must round-trip through both decoders.
+        assert _native.lzw_decode(enc_native) == payload
+        assert tiff._lzw_decode_py(enc_native) == payload
+        assert _native.lzw_decode(enc_py) == payload
+        assert tiff._lzw_decode_py(enc_py) == payload
+
+
+def test_native_packbits():
+    from resdepth_tpu.geo import _native
+
+    # literal run + repeat run + single byte
+    encoded = bytes([2, 10, 20, 30]) + bytes([0x100 - 3, 7]) + bytes([0, 99])
+    expected = bytes([10, 20, 30, 7, 7, 7, 7, 99])
+    assert _native.packbits_decode(encoded) == expected
+    assert tiff._packbits_decode_py(encoded) == expected
+
+
+def test_lzw_tiff_roundtrip_uses_native(tmp_path):
+    """Full-file LZW round trip exercises the native encode+decode path."""
+    data = np.random.default_rng(9).normal(400, 20, (300, 257)).astype(np.float32)
+    path = str(tmp_path / "lzw_native.tif")
+    tiff.write(path, data, compress="lzw")
+    out, _ = tiff.read(path)
+    np.testing.assert_array_equal(out, data)

@@ -237,3 +237,30 @@ def test_predict_linear_blend_matches_host_stitch(make_geotiff):
         weights = blend.tile_weights(t, ds.stride, ds.valid_bounds[i])
         expected[y:y + t, x:x + t] += pred * weights
     np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_stitch_matches_xla_interpret():
+    """Pallas stitch kernel (interpreter mode) == XLA scatter-add."""
+    from resdepth_tpu.ops.pallas_stitch import stitch_tiles_pallas, stitch_tiles_xla
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    rows, cols, t, b = 64, 80, 16, 6
+    scene = rng.normal(size=(rows, cols)).astype(np.float32)
+    tiles = rng.normal(size=(b, t, t)).astype(np.float32)
+    positions = np.stack([rng.integers(0, rows - t, b),
+                          rng.integers(0, cols - t, b)], 1).astype(np.int32)
+    positions[1] = positions[0]  # overlapping tiles must accumulate
+    wy = rng.random((b, t)).astype(np.float32)
+    wx = rng.random((b, t)).astype(np.float32)
+    means = rng.normal(size=b).astype(np.float32)
+
+    ref = stitch_tiles_xla(jnp.asarray(scene), jnp.asarray(tiles),
+                           jnp.asarray(positions), jnp.asarray(wy),
+                           jnp.asarray(wx), jnp.asarray(means), 3.0)
+    out = stitch_tiles_pallas(jnp.asarray(scene), jnp.asarray(tiles),
+                              jnp.asarray(positions), jnp.asarray(wy),
+                              jnp.asarray(wx), jnp.asarray(means), 3.0,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
