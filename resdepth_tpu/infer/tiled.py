@@ -35,7 +35,8 @@ from resdepth_tpu.data.pipeline import (BatchSpec, batch_spec_for, build_batch,
                                         device_put_dataset)
 from resdepth_tpu.models.unet import UNetConfig, apply_unet
 from resdepth_tpu.ops import blend
-from resdepth_tpu.ops.pallas_stitch import stitch_tiles
+from resdepth_tpu.ops.pallas_stitch import (crop_scene, pad_scene,
+                                            stitch_tiles_pallas, stitch_tiles_xla)
 
 
 def _pad_round_up(array, n, pad_value=0):
@@ -60,14 +61,22 @@ def _make_scene_fn(config: UNetConfig, spec: BatchSpec, shape, dsm_std,
             pred, _ = apply_unet(config, params, bn_state, x, train=False)
             pred = pred[..., 0].astype(jnp.float32)
             # Denormalisation + blend weighting + overlap-add fuse into the
-            # stitch op (Pallas kernel on TPU, scatter-add elsewhere).
-            carry = stitch_tiles(carry, pred, pos, wy, wx,
-                                 batch["dsm_mean"], dsm_std,
-                                 use_pallas=use_pallas)
+            # stitch op (Pallas kernel on TPU, scatter-add elsewhere). The
+            # Pallas path carries an alignment-padded scene through the scan.
+            if use_pallas:
+                carry = stitch_tiles_pallas(carry, pred, pos, wy, wx,
+                                            batch["dsm_mean"], dsm_std)
+            else:
+                carry = stitch_tiles_xla(carry, pred, pos, wy, wx,
+                                         batch["dsm_mean"], dsm_std)
             return carry, None
 
         out = jnp.zeros(shape, jnp.float32)
+        if use_pallas:
+            out = pad_scene(out)
         out, _ = jax.lax.scan(body, out, (pos_b, pair_b, wy_b, wx_b))
+        if use_pallas:
+            out = crop_scene(out)
         if axis_name is not None:
             out = jax.lax.psum(out, axis_name)
         return out

@@ -34,6 +34,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_SUBLANE = 8
+_LANE = 128
+
+
 def _stitch_kernel(pos_ref, scene_ref, tiles_ref, wy_ref, wx_ref, mean_ref,
                    sigma_ref, out_ref, scratch, sem_in, sem_out):
     i = pl.program_id(0)
@@ -41,34 +45,62 @@ def _stitch_kernel(pos_ref, scene_ref, tiles_ref, wy_ref, wx_ref, mean_ref,
     x = pos_ref[i, 1]
     tile = tiles_ref.shape[1]
 
+    # HBM slices must start on (sublane, lane) = (8, 128) boundaries; tile
+    # positions are arbitrary (edge-shifted tiles). Load the aligned superset
+    # window and place the tile at its intra-window offset with dynamic rolls.
+    y0 = (y // _SUBLANE) * _SUBLANE
+    x0 = (x // _LANE) * _LANE
+    y0 = pl.multiple_of(y0, _SUBLANE)
+    x0 = pl.multiple_of(x0, _LANE)
+    dy = y - y0
+    dx = x - x0
+
     # On the first program, the aliased output already holds the input scene
     # (input_output_aliases) — nothing to initialise.
     load = pltpu.make_async_copy(
-        out_ref.at[pl.ds(y, tile), pl.ds(x, tile)], scratch, sem_in)
+        out_ref.at[pl.ds(y0, tile + _SUBLANE), pl.ds(x0, tile + _LANE)],
+        scratch, sem_in)
     load.start()
 
     weighted = (tiles_ref[0] * sigma_ref[0] + mean_ref[i]) * (
         wy_ref[i][:, None] * wx_ref[i][None, :])
+    padded = jnp.pad(weighted, ((0, _SUBLANE), (0, _LANE)))
+    # dy < 8 and dx < 128: rolling never wraps tile data around the window.
+    padded = pltpu.roll(padded, dy, 0)
+    padded = pltpu.roll(padded, dx, 1)
 
     load.wait()
-    scratch[:] = scratch[:] + weighted
+    scratch[:] = scratch[:] + padded
 
     store = pltpu.make_async_copy(
-        scratch, out_ref.at[pl.ds(y, tile), pl.ds(x, tile)], sem_out)
+        scratch,
+        out_ref.at[pl.ds(y0, tile + _SUBLANE), pl.ds(x0, tile + _LANE)],
+        sem_out)
     store.start()
     store.wait()
 
     del scene_ref  # aliased with out_ref; listed only for the alias contract
 
 
+def pad_scene(scene):
+    """Pad a scene so every aligned superset window fits (bottom/right only)."""
+    return jnp.pad(scene, ((0, _SUBLANE), (0, _LANE)))
+
+
+def crop_scene(scene_padded):
+    return scene_padded[:-_SUBLANE, :-_LANE]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
-def stitch_tiles_pallas(scene, tiles, positions, wy, wx, means, sigma,
+def stitch_tiles_pallas(scene_padded, tiles, positions, wy, wx, means, sigma,
                         interpret: bool = False):
     """scene[y_i:y_i+T, x_i:x_i+T] += (tiles_i * sigma + means_i) * wy_i ⊗ wx_i.
 
-    scene: (rows, cols) f32 (donated); tiles: (B, T, T); positions: (B, 2)
-    int32; wy/wx: (B, T); means: (B,); sigma: scalar.
+    ``scene_padded``: (rows + 8, cols + 128) f32 (see ``pad_scene``; donated);
+    tiles: (B, T, T); positions: (B, 2) int32 in UNPADDED coordinates;
+    wy/wx: (B, T); means: (B,); sigma: scalar.
     """
+    scene = scene_padded
     b, tile, _ = tiles.shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -87,7 +119,7 @@ def stitch_tiles_pallas(scene, tiles, positions, wy, wx, means, sigma,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((tile, tile), jnp.float32),
+            pltpu.VMEM((tile + _SUBLANE, tile + _LANE), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -116,10 +148,17 @@ def stitch_tiles_xla(scene, tiles, positions, wy, wx, means, sigma):
 
 
 def stitch_tiles(scene, tiles, positions, wy, wx, means, sigma,
-                 use_pallas: bool | None = None):
-    """Dispatch: Pallas kernel on TPU, XLA scatter-add elsewhere."""
+                 use_pallas: bool | None = None, interpret: bool = False):
+    """Dispatch: Pallas kernel on TPU, XLA scatter-add elsewhere.
+
+    One-off convenience wrapper (handles scene padding). Inside a scan, carry
+    the padded scene and call ``stitch_tiles_pallas`` directly to avoid
+    per-step pad/crop copies.
+    """
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
     if use_pallas:
-        return stitch_tiles_pallas(scene, tiles, positions, wy, wx, means, sigma)
+        padded = stitch_tiles_pallas(pad_scene(scene), tiles, positions, wy, wx,
+                                     means, sigma, interpret=interpret)
+        return crop_scene(padded)
     return stitch_tiles_xla(scene, tiles, positions, wy, wx, means, sigma)

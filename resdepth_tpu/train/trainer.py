@@ -49,7 +49,8 @@ class Trainer:
                  freq_average_train_loss: int = 20, checkpoint_dir: str,
                  log_file: str | None = None, tboard_log_dir: str | None = None,
                  metrics_jsonl: str | None = None, hparams: dict | None = None,
-                 rng_seed: int = 0, logger: logging.Logger | None = None):
+                 rng_seed: int = 0, logger: logging.Logger | None = None,
+                 profile_dir: str | None = None):
         """
         ``train_loaders`` / ``val_loaders``: lists of
         ``(DeviceRasters, BatchIndexIterator)`` pairs, one per dataset region
@@ -85,6 +86,7 @@ class Trainer:
         self.base_key = jax.random.PRNGKey(rng_seed)
         self._last_val_loss = None
         self._last_train_loss = None
+        self.profile_dir = profile_dir
 
     # ------------------------------ resume ------------------------------ #
 
@@ -186,7 +188,11 @@ class Trainer:
             header = f"Epoch {epoch}/{self.n_epochs - 1}"
             self.logger.info("\n{}\n{}\n".format(header, "-" * len(header)))
 
-            self.train_one_epoch(epoch)
+            # Profile the first trained epoch when a trace directory is set.
+            from resdepth_tpu.utils import profiler
+            with profiler.trace(self.profile_dir if epoch == self.start_epoch
+                                else None):
+                self.train_one_epoch(epoch)
 
             if (epoch + 1) % self.evaluate_rate == 0:
                 val_loss = self.validate(epoch)

@@ -241,7 +241,7 @@ def test_predict_linear_blend_matches_host_stitch(make_geotiff):
 
 def test_pallas_stitch_matches_xla_interpret():
     """Pallas stitch kernel (interpreter mode) == XLA scatter-add."""
-    from resdepth_tpu.ops.pallas_stitch import stitch_tiles_pallas, stitch_tiles_xla
+    from resdepth_tpu.ops.pallas_stitch import stitch_tiles, stitch_tiles_xla
     import jax.numpy as jnp
 
     rng = np.random.default_rng(0)
@@ -258,9 +258,9 @@ def test_pallas_stitch_matches_xla_interpret():
     ref = stitch_tiles_xla(jnp.asarray(scene), jnp.asarray(tiles),
                            jnp.asarray(positions), jnp.asarray(wy),
                            jnp.asarray(wx), jnp.asarray(means), 3.0)
-    out = stitch_tiles_pallas(jnp.asarray(scene), jnp.asarray(tiles),
-                              jnp.asarray(positions), jnp.asarray(wy),
-                              jnp.asarray(wx), jnp.asarray(means), 3.0,
-                              interpret=True)
+    out = stitch_tiles(jnp.asarray(scene), jnp.asarray(tiles),
+                       jnp.asarray(positions), jnp.asarray(wy),
+                       jnp.asarray(wx), jnp.asarray(means), 3.0,
+                       use_pallas=True, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)

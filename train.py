@@ -303,7 +303,8 @@ def main() -> None:
         log_file=os.path.join(output_directory, "training.log"),
         tboard_log_dir=cfg.output.tboard_log_dir,
         metrics_jsonl=os.path.join(output_directory, "metrics.jsonl"),
-        hparams=hparams, rng_seed=seed)
+        hparams=hparams, rng_seed=seed,
+        profile_dir=cfg.tpu.profile_dir or None)
 
     if resume_meta is not None:
         trainer.resume_from(resume_meta)
