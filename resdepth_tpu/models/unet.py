@@ -344,6 +344,47 @@ def param_count(params) -> int:
     return int(sum(np.prod(leaf.shape) for leaf in jax.tree_util.tree_leaves(params)))
 
 
+def describe_unet(config: UNetConfig, params, tile_size: int | None = None) -> str:
+    """Layer-by-layer architecture summary (plot_model_txt artifact,
+    reference: lib/utils.py:711-729 via torchsummary)."""
+    lines = [f"UNet architecture ({config.depth} levels, "
+             f"{config.n_input_channels} input channels)", ""]
+    lines.append(f"{'layer':<28}{'kernel':<22}{'params':>12}")
+    lines.append("-" * 62)
+    total = 0
+
+    def row(name, layer):
+        nonlocal total
+        count = int(sum(np.prod(leaf.shape)
+                        for leaf in jax.tree_util.tree_leaves(layer)))
+        total += count
+        kernel = tuple(layer["kernel"].shape) if "kernel" in layer else "-"
+        lines.append(f"{name:<28}{str(kernel):<22}{count:>12,}")
+
+    for i, block in enumerate(params["encoder"]):
+        row(f"encoder.{i}.conv(+bn)", block)
+        lines.append(f"{'encoder.' + str(i) + '.maxpool2x2':<28}{'-':<22}{0:>12,}")
+    row("bottleneck.conv(+bn)", params["bottleneck"])
+    for i, block in enumerate(params["decoder"]):
+        label = f"decoder.{i}.up" + ("" if "conv" not in block else "+conv(+bn)")
+        row(label, block)
+    row("last.conv3x3", params["last"])
+    if "outer_skip_bn" in params:
+        row("outer_skip.bn", params["outer_skip_bn"])
+    elif config.outer_skip:
+        lines.append(f"{'outer_skip.add':<28}{'-':<22}{0:>12,}")
+
+    lines.append("-" * 62)
+    lines.append(f"{'total':<50}{total:>12,}")
+    if tile_size:
+        widths = config.filter_depths
+        act_mb = sum((tile_size // 2 ** i) ** 2 * w * 4 / 2 ** 20
+                     for i, w in enumerate(widths))
+        lines.append(f"approx. activation footprint per sample @{tile_size}px "
+                     f"(f32 encoder): {act_mb:.1f} MiB")
+    return "\n".join(lines)
+
+
 def flagship_config(input_channels: str = "geom-stereo") -> UNetConfig:
     """The paper's headline architecture: depth-5 UNet, start 64, cap 512."""
     from resdepth_tpu.config.schema import count_input_channels

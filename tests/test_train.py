@@ -199,3 +199,49 @@ def test_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
                     jax.tree_util.tree_leaves(opt_r)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("channels,n_views,outer_skip", [
+    ("geom-mono", 1, True),
+    ("geom-multiview", 3, True),
+    ("stereo", 2, False),
+])
+def test_train_step_all_channel_modes(channels, n_views, outer_skip):
+    """Every input-channel configuration trains end to end on device."""
+    rng = np.random.default_rng(0)
+    rows = cols = 48
+    tile, batch = 16, 4
+    gt = rng.normal(100.0, 3.0, (rows, cols)).astype(np.float32)
+    dsm = gt + rng.normal(0.0, 1.0, (rows, cols)).astype(np.float32)
+    orthos = rng.normal(120.0, 25.0, (rows, cols, 4)).astype(np.float32)
+    pairs = np.arange(n_views, dtype=np.int32)[None, :]
+
+    rasters = DeviceRasters(jnp.asarray(dsm), jnp.asarray(gt), jnp.asarray(orthos),
+                            jnp.asarray(pairs), jnp.asarray(-9999.0, jnp.float32))
+    from resdepth_tpu.config.schema import count_input_channels
+    n_in = count_input_channels(channels, f"{n_views}-view")
+    config = UNetConfig(n_input_channels=n_in, start_kernel=4, max_filter_depth=8,
+                        depth=2, outer_skip=outer_skip)
+    spec = BatchSpec(input_channels=channels, tile_size=tile, dsm_std=3.0,
+                     ortho_mean=120.0, ortho_std=25.0)
+    tx = build_optimizer("Adam", 0.0)
+    params, bn = init_unet(jax.random.PRNGKey(0), config)
+    state = init_train_state(params, bn, tx, 1e-3)
+    step = make_train_step(config, spec, tx, mesh=None)
+
+    positions = rng.integers(0, rows - tile, (batch, 2)).astype(np.int32)
+    state, metric = step(state, rasters, positions, np.zeros(batch, np.int32),
+                         np.zeros((batch, 4), np.int32), np.ones(batch, np.float32),
+                         jax.random.PRNGKey(1))
+    assert np.isfinite(float(metric))
+
+
+def test_describe_unet():
+    from resdepth_tpu.models.unet import describe_unet
+    config = UNetConfig(n_input_channels=3, start_kernel=4, max_filter_depth=8,
+                        depth=2)
+    params, _ = init_unet(jax.random.PRNGKey(0), config)
+    text = describe_unet(config, params, tile_size=64)
+    assert "encoder.0" in text and "bottleneck" in text and "total" in text
+    from resdepth_tpu.models.unet import param_count
+    assert f"{param_count(params):,}" in text

@@ -223,10 +223,12 @@ def main() -> None:
     logger.info(f"UNet parameters: {param_count(params):,}")
 
     if cfg.output.get("plot_model_txt"):
+        from resdepth_tpu.models.unet import describe_unet
         path = os.path.join(output_directory, "model_parameters.txt")
         with open(path, "w") as f:
+            f.write(describe_unet(model_config, params,
+                                  cfg.training_settings.tile_size) + "\n\n")
             f.write(f"UNetConfig: {model_config}\n")
-            f.write(f"Total parameters: {param_count(params):,}\n")
         logger.info(f"Writing model architecture to file: {path}\n")
 
     tx = build_optimizer(cfg.optimizer.name, cfg.optimizer.weight_decay)
