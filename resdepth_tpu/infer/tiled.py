@@ -93,13 +93,18 @@ def _make_scene_fn(config: UNetConfig, spec: BatchSpec, shape, dsm_std,
 def predict_linear_blend(config: UNetConfig, params, bn_state, ds: TileDataset,
                          *, batch_size: int = 32, mesh=None,
                          axis_name: str = "data", compute_dtype=jnp.float32,
-                         rasters=None, use_pallas: bool | None = None) -> np.ndarray:
+                         rasters=None, use_pallas: bool | None = None,
+                         fold_bn: bool = True) -> np.ndarray:
     """Refine a whole scene; returns the blended refined DSM (rows, cols).
 
     ``ds`` must be a 'test'-strategy TileDataset (overlapping grid). Interface
     parity with lib/evaluation.py:460: same spatial extent as the initial DSM;
-    pixels outside the covered region remain 0.
+    pixels outside the covered region remain 0. ``fold_bn`` folds eval-mode
+    BatchNorm into the conv weights (exact; saves elementwise HBM passes).
     """
+    if fold_bn and config.do_BN:
+        from resdepth_tpu.models.unet import fold_batchnorm
+        config, params, bn_state = fold_batchnorm(config, params, bn_state)
     if rasters is None:
         rasters = device_put_dataset(ds)
     spec = batch_spec_for(ds, transform_dsm=True,

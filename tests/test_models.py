@@ -156,3 +156,38 @@ def test_param_count_flagship():
     model = TorchUNet(**_torch_kwargs(config))
     torch_count = sum(p.numel() for p in model.parameters())
     assert junet.param_count(params) == torch_count
+
+
+def test_fold_batchnorm_exact():
+    """BN folding produces identical eval-mode outputs (exact affine fold)."""
+    config = _small_config()
+    model, params, state = _parity_setup(config)
+    from resdepth_tpu.models.unet import fold_batchnorm
+
+    folded_config, folded_params, folded_state = fold_batchnorm(config, params, state)
+    assert folded_config.do_BN is False
+
+    x = jnp.asarray(np.random.default_rng(3).normal(
+        size=(2, 32, 32, config.n_input_channels)).astype(np.float32))
+    ref, _ = junet.apply_unet(config, params, state, x, train=False)
+    out, _ = junet.apply_unet(folded_config, folded_params, folded_state, x,
+                              train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fold_batchnorm_keeps_outer_skip_bn():
+    config = _small_config(outer_skip_BN=True)
+    model, params, state = _parity_setup(config)
+    from resdepth_tpu.models.unet import fold_batchnorm
+
+    folded_config, folded_params, folded_state = fold_batchnorm(config, params, state)
+    assert "outer_skip_bn" in folded_params
+
+    x = jnp.asarray(np.random.default_rng(4).normal(
+        size=(2, 32, 32, config.n_input_channels)).astype(np.float32))
+    ref, _ = junet.apply_unet(config, params, state, x, train=False)
+    out, _ = junet.apply_unet(folded_config, folded_params, folded_state, x,
+                              train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
