@@ -46,6 +46,8 @@ SCHEDULER_KEYS = ["enabled", "name", "settings"]
 GENERAL_KEYS = [
     "allocation_strategy", "test_stripe", "workers", "random_seed",
     "save_model_rate", "evaluate_rate",
+    # TPU-native extension: resume from the newest prior run automatically
+    "auto_resume",
 ]
 
 OUTPUT_KEYS = ["output_directory", "tboard_log_dir", "suffix", "plot_model_txt"]

@@ -254,6 +254,9 @@ def _valid_general_args(cfg_user, logger) -> bool:
     for key in ("save_model_rate", "evaluate_rate"):
         if key in general and not is_positive_integer(general[key], key, logger):
             error = True
+    if "auto_resume" in general and not is_boolean(general.auto_resume,
+                                                   "auto_resume", logger):
+        error = True
     return not error
 
 

@@ -111,6 +111,68 @@ def import_checkpoint(path: str, config: UNetConfig):
     return params_from_state_dict(load_state_dict(path), config)
 
 
+_BUFFER_SUFFIXES = ("running_mean", "running_var", "num_batches_tracked")
+
+
+def import_adam_state(path: str, config: UNetConfig):
+    """Import a reference checkpoint's Adam optimizer state.
+
+    The reference restores the optimizer on warm start
+    (lib/Trainer.py:113-126). Torch keys Adam state by parameter POSITION
+    (registration order == state_dict order minus buffers); this maps each
+    position back to its name and reuses the weight-layout conversion by
+    substituting moments into a shadow state_dict.
+
+    Returns ``(mu, nu, count)`` — first/second-moment pytrees with the params
+    structure and the shared step count — or None when the checkpoint has no
+    optimizer state.
+    """
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    if not isinstance(blob, dict) or "optimizer_state_dict" not in blob:
+        return None
+    sd = blob["model_state_dict"]
+    opt = blob["optimizer_state_dict"]
+
+    param_names = [k for k in sd if not k.endswith(_BUFFER_SUFFIXES)]
+    mu_sd, nu_sd = dict(sd), dict(sd)
+    count = 0
+    for index, name in enumerate(param_names):
+        entry = opt["state"].get(index)
+        if entry is None:  # param never updated (possible with zero grads)
+            mu_sd[name] = torch.zeros_like(sd[name])
+            nu_sd[name] = torch.zeros_like(sd[name])
+            continue
+        mu_sd[name] = entry["exp_avg"]
+        nu_sd[name] = entry["exp_avg_sq"]
+        count = max(count, int(entry["step"]))
+
+    def numpyify(d):
+        return {k: np.array(v.detach().cpu().numpy()) for k, v in d.items()
+                if hasattr(v, "detach")}
+
+    mu, _ = params_from_state_dict(numpyify(mu_sd), config)
+    nu, _ = params_from_state_dict(numpyify(nu_sd), config)
+    return mu, nu, count
+
+
+def graft_adam_state(opt_state, mu, nu, count):
+    """Replace the ScaleByAdamState inside an optax opt_state tuple."""
+    import jax.numpy as jnp
+    import optax
+
+    new_adam = optax.ScaleByAdamState(
+        count=jnp.asarray(count, jnp.int32), mu=mu, nu=nu)
+
+    def replace(entry):
+        return new_adam if isinstance(entry, optax.ScaleByAdamState) else entry
+
+    if isinstance(opt_state, tuple):
+        return tuple(replace(s) for s in opt_state)
+    return replace(opt_state)
+
+
 def load_epoch(path: str) -> int:
     """Epoch recorded in a reference checkpoint (-1 for bare state_dicts)."""
     import torch

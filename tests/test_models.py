@@ -191,3 +191,46 @@ def test_fold_batchnorm_keeps_outer_skip_bn():
                               train=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_import_adam_state(tmp_path):
+    """Adam moments from a reference checkpoint map onto our pytrees."""
+    import torch
+
+    config = _small_config()
+    torch.manual_seed(0)
+    from tests.torch_unet import TorchUNet
+    model = TorchUNet(**_torch_kwargs(config))
+    optimizer = torch.optim.Adam(model.parameters(), lr=1e-3, weight_decay=1e-5)
+    model.train()
+    for _ in range(3):
+        optimizer.zero_grad()
+        out = model(torch.randn(2, config.n_input_channels, 32, 32))
+        out.mean().backward()
+        optimizer.step()
+
+    path = str(tmp_path / "ckpt.pth")
+    torch.save({"epoch": 2, "model_state_dict": model.state_dict(),
+                "optimizer_state_dict": optimizer.state_dict()}, path)
+
+    mu, nu, count = torch_import.import_adam_state(path, config)
+    assert count == 3
+    # Moment layouts must mirror the weight layouts
+    assert mu["encoder"][0]["conv"]["kernel"].shape == (3, 3, 3, 4)
+    exp_avg = optimizer.state_dict()["state"][0]["exp_avg"].numpy()
+    np.testing.assert_allclose(
+        np.asarray(mu["encoder"][0]["conv"]["kernel"]),
+        exp_avg.transpose(2, 3, 1, 0), rtol=1e-6)
+    exp_avg_sq = optimizer.state_dict()["state"][0]["exp_avg_sq"].numpy()
+    np.testing.assert_allclose(
+        np.asarray(nu["encoder"][0]["conv"]["kernel"]),
+        exp_avg_sq.transpose(2, 3, 1, 0), rtol=1e-6)
+
+    # grafting into an optax opt_state
+    from resdepth_tpu.train.optim import build_optimizer
+    params, _ = torch_import.import_checkpoint(path, config)
+    tx = build_optimizer("Adam", 1e-5)
+    opt_state = torch_import.graft_adam_state(tx.init(params), mu, nu, count)
+    import optax
+    adam_states = [s for s in opt_state if isinstance(s, optax.ScaleByAdamState)]
+    assert adam_states and int(adam_states[0].count) == 3

@@ -237,6 +237,18 @@ def main() -> None:
 
     # ------------------------------ warm start ----------------------------- #
     pretrained_path = cfg.model.get("pretrained_path")
+    if not pretrained_path and cfg.general.get("auto_resume"):
+        # Failure-recovery: resume from the newest prior run's last checkpoint
+        # under the same output root (idiomatic replacement for the
+        # reference's manual warm-start-only story — SURVEY.md §5).
+        import glob
+        candidates = sorted(
+            glob.glob(os.path.join(cfg_user.output.output_directory,
+                                   "*", "checkpoints", "Model_last.npz")),
+            key=os.path.getmtime)
+        if candidates:
+            pretrained_path = candidates[-1]
+            logger.info(f"auto_resume: continuing from {pretrained_path}")
     resume_meta = None
     if pretrained_path:
         if pretrained_path.endswith(".pth"):
@@ -245,6 +257,14 @@ def main() -> None:
                 pretrained_path, model_config)
             state = init_train_state(params, bn_state, tx,
                                      cfg.optimizer.learning_rate)
+            adam = (torch_import.import_adam_state(pretrained_path, model_config)
+                    if cfg.optimizer.name == "Adam" else None)
+            if adam is not None:
+                mu, nu, count = adam
+                state = state.replace(opt_state=torch_import.graft_adam_state(
+                    state.opt_state, mu, nu, count))
+                logger.info("Restored Adam optimizer moments from the "
+                            "reference checkpoint.")
             blob_epoch = torch_import.load_epoch(pretrained_path)
             resume_meta = {"epoch": blob_epoch, "loss_val": None,
                            "scheduler_state": None}
