@@ -32,41 +32,46 @@ def log(msg: str) -> None:
 
 
 def bench_tpu(compute_dtype_name: str = "float32") -> float:
+    """On-device throughput: K chained forwards inside ONE jitted program.
+
+    The device relay adds tens of ms of dispatch latency per program and its
+    block_until_ready under-reports across pipelined dispatches, so the
+    benchmark runs the iteration loop ON DEVICE (lax.fori_loop with a data
+    dependency between iterations) and fetches one scalar. Inference-mode
+    BatchNorm is folded into the conv weights, as the production inference
+    path does (models.unet.fold_batchnorm).
+    """
     import jax
     import jax.numpy as jnp
 
-    from resdepth_tpu.models.unet import apply_unet, flagship_config, init_unet
+    from resdepth_tpu.models.unet import (apply_unet, flagship_config,
+                                          fold_batchnorm, init_unet)
 
     config = flagship_config("geom-stereo")
     params, bn_state = init_unet(jax.random.PRNGKey(0), config)
+    config, params, bn_state = fold_batchnorm(config, params, bn_state)
     compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
 
     @jax.jit
-    def forward(params, bn_state, x):
-        y, _ = apply_unet(config, params, bn_state, x.astype(compute_dtype),
-                          train=False)
-        # Reduce on device: the bench measures model throughput, not the
-        # host tunnel's 4 MB/tile output transfer (production keeps outputs
-        # on device for stitching). Fetching the scalar forces completion.
-        return y.astype(jnp.float32).sum()
+    def chain(params, bn_state, x):
+        def body(i, carry):
+            y, _ = apply_unet(config, params, bn_state,
+                              carry.astype(compute_dtype), train=False)
+            # data dependency between iterations prevents reordering/DCE
+            return carry.at[..., 0:1].add(y.astype(jnp.float32) * 1e-9)
+        return jax.lax.fori_loop(0, TIMED_ITERS, body, x).sum()
 
     x = jnp.asarray(np.random.default_rng(0).normal(
         size=(BATCH, TILE, TILE, 3)).astype(np.float32))
 
     t0 = time.perf_counter()
-    float(forward(params, bn_state, x))
+    assert np.isfinite(float(chain(params, bn_state, x)))
     log(f"[tpu/{compute_dtype_name}] compile+first-step: "
         f"{time.perf_counter() - t0:.1f}s on {jax.devices()[0].platform}")
 
-    # Pipelined dispatch with a full fetch of EVERY output: under the axon
-    # relay, block_until_ready on only the final output under-reports; each
-    # per-iteration scalar fetch is cheap and forces true completion.
-    xs = [x + i for i in range(TIMED_ITERS)]
     t0 = time.perf_counter()
-    outs = [forward(params, bn_state, xi) for xi in xs]
-    total = sum(float(o) for o in outs)
+    assert np.isfinite(float(chain(params, bn_state, x)))
     elapsed = time.perf_counter() - t0
-    assert np.isfinite(total)
     tiles_per_sec = BATCH * TIMED_ITERS / elapsed
     log(f"[tpu/{compute_dtype_name}] {tiles_per_sec:.1f} tiles/sec "
         f"({elapsed / TIMED_ITERS * 1e3:.1f} ms/batch of {BATCH})")
@@ -145,7 +150,12 @@ def main() -> None:
     torch_cpu = bench_torch_cpu()
 
     if tpu_bf16:
-        log(f"[summary] bf16 speedup over f32: {tpu_bf16 / tpu_f32:.2f}x")
+        log(f"[summary] bf16: {tpu_bf16:.0f} tiles/sec "
+            f"({tpu_bf16 / torch_cpu:.0f}x torch-cpu); "
+            f"f32 (parity path): {tpu_f32:.0f} tiles/sec "
+            f"({tpu_f32 / torch_cpu:.0f}x torch-cpu)")
+    # Headline: the f32 parity path (bf16 is faster but outside the <=1 cm
+    # MAE parity budget until validated — reported on stderr above).
     print(json.dumps({
         "metric": "tile_throughput_256px_stereo_unet_f32",
         "value": round(tpu_f32, 2),
