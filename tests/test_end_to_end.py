@@ -202,3 +202,43 @@ def test_infer_from_torch_checkpoint(make_geotiff, tmp_path, monkeypatch):
 
     preds = list((tmp_path / "eval_pth" / "torchrun").glob("dsm_prediction*.tif"))
     assert preds
+
+
+def test_train_multi_region(make_geotiff, tmp_path, monkeypatch):
+    """Two training regions (ConcatDataset-equivalent): per-region loaders,
+    interleaved epochs, per-raster-shape jit reuse."""
+    paths_a, _, _ = _write_scene(make_geotiff, tmp_path, rows=64, cols=80)
+    rng = np.random.default_rng(1)
+    gt_b = rng.normal(300.0, 5.0, (72, 96)).astype(np.float32)
+    dsm_b = gt_b + rng.normal(0.0, 1.0, (72, 96)).astype(np.float32)
+    raster_b = make_geotiff("dsm_b.tif", dsm_b)
+    gt_b_path = make_geotiff("gt_b.tif", gt_b)
+
+    def region(name, raster_in, raster_gt):
+        return {"name": name, "raster_in": raster_in, "raster_gt": raster_gt,
+                "area_type": "train+val",
+                "allocation_strategy": "5-crossval_vertical", "test_stripe": 0,
+                "n_training_samples": 12}
+
+    cfg = {
+        "datasets": [region("a", paths_a["raster_in"], paths_a["raster_gt"]),
+                     region("b", raster_b, gt_b_path)],
+        "model": {"input_channels": "geom", "depth": 2, "start_kernel": 4,
+                  "max_filter_depth": 8},
+        "training_settings": {"tile_size": 16, "batch_size": 4, "n_epochs": 1,
+                              "augment": False, "loss": "L1"},
+        "optimizer": {"name": "Adam", "learning_rate": 0.001},
+        "scheduler": {"enabled": False},
+        "general": {"evaluate_rate": 1, "random_seed": 0},
+        "output": {"output_directory": str(tmp_path / "runs_multi")},
+    }
+    cfg_path = tmp_path / "multi.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    import train as train_cli
+    _run_cli(train_cli.main, str(cfg_path), monkeypatch)
+
+    run_dir = sorted((tmp_path / "runs_multi").iterdir())[0]
+    assert (run_dir / "checkpoints" / "Model_best.npz").exists()
+    metrics = (run_dir / "metrics.jsonl").read_text()
+    assert "val/MAE_metric" in metrics
