@@ -31,7 +31,8 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from resdepth_tpu.data.dataset import TileDataset
-from resdepth_tpu.data.pipeline import (BatchSpec, batch_spec_for, build_batch,
+from resdepth_tpu.data.pipeline import (BatchSpec, DeviceRasters,
+                                        batch_spec_for, build_batch,
                                         device_put_dataset)
 from resdepth_tpu.models.unet import UNetConfig, apply_unet
 from resdepth_tpu.ops import blend
@@ -90,6 +91,42 @@ def _make_scene_fn(config: UNetConfig, spec: BatchSpec, shape, dsm_std,
     return jax.jit(scene_fn)
 
 
+def _inference_spec(ds: TileDataset) -> BatchSpec:
+    """Prediction needs no loss mask / target gather — strip them from the
+    fused stage (the stitch uses blend weights, not exclusive bounds)."""
+    import dataclasses
+    spec = batch_spec_for(ds, transform_dsm=True,
+                          transform_orthos=ds.input_channels != "geom",
+                          augment=False)
+    return dataclasses.replace(spec, use_bounds=False, has_target=False)
+
+
+def _predict_tiles(config, params, bn_state, rasters, positions, pair_idx,
+                   wy, wx, shape, spec, dsm_std, batch_size, mesh, axis_name,
+                   compute_dtype, use_pallas) -> np.ndarray:
+    """Run the jitted scan over one set of tiles into a (rows, cols) canvas."""
+    tile = spec.tile_size
+    n = len(positions)
+    per_step = batch_size * (mesh.devices.size if mesh is not None else 1)
+    n_padded = ((n + per_step - 1) // per_step) * per_step
+    n_steps = n_padded // per_step
+
+    positions = _pad_round_up(positions, n_padded)
+    pair_idx = _pad_round_up(pair_idx, n_padded)
+    wy = _pad_round_up(wy, n_padded, 0.0)   # zero weights: padding adds nothing
+    wx = _pad_round_up(wx, n_padded, 0.0)
+
+    scene_fn = _make_scene_fn(config, spec, shape, dsm_std, compute_dtype,
+                              mesh, axis_name if mesh is not None else None,
+                              use_pallas)
+    out = scene_fn(params, bn_state, rasters,
+                   positions.reshape(n_steps, per_step, 2),
+                   pair_idx.reshape(n_steps, per_step),
+                   wy.reshape(n_steps, per_step, tile),
+                   wx.reshape(n_steps, per_step, tile))
+    return np.asarray(out)
+
+
 def predict_linear_blend(config: UNetConfig, params, bn_state, ds: TileDataset,
                          *, batch_size: int = 32, mesh=None,
                          axis_name: str = "data", compute_dtype=jnp.float32,
@@ -102,44 +139,94 @@ def predict_linear_blend(config: UNetConfig, params, bn_state, ds: TileDataset,
     pixels outside the covered region remain 0. ``fold_bn`` folds eval-mode
     BatchNorm into the conv weights (exact; saves elementwise HBM passes).
     """
+    import dataclasses
+
     if fold_bn and config.do_BN:
         from resdepth_tpu.models.unet import fold_batchnorm
         config, params, bn_state = fold_batchnorm(config, params, bn_state)
     if rasters is None:
         rasters = device_put_dataset(ds)
-    spec = batch_spec_for(ds, transform_dsm=True,
-                          transform_orthos=ds.input_channels != "geom",
-                          augment=False)
-    # Stitching needs no loss mask; drop bounds handling from the fused stage.
-    import dataclasses
-    spec = dataclasses.replace(spec, use_bounds=False)
-
-    tile, stride = ds.tile_size, ds.stride
-    n = len(ds)
-    if mesh is not None:
-        n_dev = mesh.devices.size
-        per_step = batch_size * n_dev
-    else:
-        per_step = batch_size
-    n_padded = ((n + per_step - 1) // per_step) * per_step
-    n_steps = n_padded // per_step
-
-    wy, wx = blend.weight_table(tile, stride, ds.valid_bounds)
-    positions = _pad_round_up(ds.positions, n_padded)
-    pair_idx = _pad_round_up(ds.pair_indices, n_padded)
-    wy = _pad_round_up(wy, n_padded, 0.0)   # zero weights: padding adds nothing
-    wx = _pad_round_up(wx, n_padded, 0.0)
-
-    pos_b = positions.reshape(n_steps, per_step, 2)
-    pair_b = pair_idx.reshape(n_steps, per_step)
-    wy_b = wy.reshape(n_steps, per_step, tile)
-    wx_b = wx.reshape(n_steps, per_step, tile)
+    rasters = dataclasses.replace(rasters, dsm_target=None)
 
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
-    scene_fn = _make_scene_fn(config, spec, ds.dsm_input.shape, ds.dsm_std,
-                              compute_dtype, mesh,
-                              axis_name if mesh is not None else None,
-                              use_pallas)
-    out = scene_fn(params, bn_state, rasters, pos_b, pair_b, wy_b, wx_b)
-    return np.asarray(out)
+    wy, wx = blend.weight_table(ds.tile_size, ds.stride, ds.valid_bounds)
+    return _predict_tiles(config, params, bn_state, rasters, ds.positions,
+                          ds.pair_indices, wy, wx, ds.dsm_input.shape,
+                          _inference_spec(ds), ds.dsm_std, batch_size, mesh,
+                          axis_name, compute_dtype, use_pallas)
+
+
+def predict_linear_blend_streaming(config: UNetConfig, params, bn_state,
+                                   ds: TileDataset, *,
+                                   max_device_pixels: int = 1 << 28,
+                                   batch_size: int = 32, mesh=None,
+                                   axis_name: str = "data",
+                                   compute_dtype=jnp.float32,
+                                   use_pallas: bool | None = None,
+                                   fold_bn: bool = True) -> np.ndarray:
+    """Refine a scene too large for device memory by streaming row bands.
+
+    The stitch is additive, so the tile grid can be partitioned arbitrarily:
+    tiles are grouped into horizontal bands whose raster windows fit a device
+    budget (``max_device_pixels`` counts raster pixels across all bands:
+    DSM + ortho views); each band's window is uploaded, its tiles stitched on
+    device, and the band canvas accumulated into the host scene. The result
+    is bit-identical to the non-streaming path (unit-tested).
+
+    The reference has no analogue — it holds every raster in host RAM
+    (README.md:268) and round-trips each tile; this path bounds DEVICE memory
+    while keeping the per-band compute fully fused.
+    """
+    if fold_bn and config.do_BN:
+        from resdepth_tpu.models.unet import fold_batchnorm
+        config, params, bn_state = fold_batchnorm(config, params, bn_state)
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+
+    tile = ds.tile_size
+    cols = ds.dsm_input.shape[1]
+    n_views = 0 if ds.orthos is None else ds.orthos.shape[2]
+    rows_budget = max(tile, int(max_device_pixels / (cols * (1 + n_views))))
+
+    spec = _inference_spec(ds)
+    wy_all, wx_all = blend.weight_table(tile, ds.stride, ds.valid_bounds)
+    order = np.argsort(ds.positions[:, 0], kind="stable")
+    out = np.zeros(ds.dsm_input.shape, np.float32)
+
+    start = 0
+    n = len(order)
+    while start < n:
+        band_y0 = int(ds.positions[order[start], 0])
+        end = start
+        max_uly = band_y0
+        while end < n:
+            uly = int(ds.positions[order[end], 0])
+            if uly + tile - band_y0 > rows_budget and end > start:
+                break
+            max_uly = max(max_uly, uly)
+            end += 1
+        window_rows = max_uly + tile - band_y0
+        window = slice(band_y0, band_y0 + window_rows)
+
+        band_idx = order[start:end]
+        band_positions = ds.positions[band_idx].copy()
+        band_positions[:, 0] -= band_y0
+
+        band_rasters = DeviceRasters(
+            dsm_input=jnp.asarray(ds.dsm_input[window]),
+            dsm_target=None,
+            orthos=(jnp.asarray(ds.orthos[window]) if ds.orthos is not None
+                    else None),
+            pairs=jnp.asarray(ds.pairs_array),
+            nodata=jnp.asarray(ds.nodata, jnp.float32))
+
+        band_out = _predict_tiles(
+            config, params, bn_state, band_rasters, band_positions,
+            ds.pair_indices[band_idx], wy_all[band_idx], wx_all[band_idx],
+            (window_rows, cols), spec, ds.dsm_std, batch_size, mesh,
+            axis_name, compute_dtype, use_pallas)
+        out[window] += band_out
+        start = end
+
+    return out

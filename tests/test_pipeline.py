@@ -264,3 +264,26 @@ def test_pallas_stitch_matches_xla_interpret():
                        use_pallas=True, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_streaming_inference_matches_full(make_geotiff):
+    """Band-streamed inference is identical to the HBM-resident path."""
+    from resdepth_tpu.infer import predict_linear_blend_streaming
+
+    paths, dsm, _, images = _scene(make_geotiff, rows=96, cols=64)
+    entry = {"raster_in": paths["raster_in"],
+             "image_list": paths["image_list"], "image_pairs": [(0, 1)],
+             "area_defn": {"x_extent": [(0, 63)], "y_extent": [(0, 95)]}}
+    ds = TileDataset(entry, input_channels="geom-stereo", tile_size=16,
+                     sampling_strategy="test", dsm_std=5.0, ortho_mean=120.0,
+                     ortho_std=25.0)
+    config = UNetConfig(n_input_channels=3, start_kernel=4, max_filter_depth=8,
+                        depth=2)
+    params, bn = init_unet(jax.random.PRNGKey(0), config)
+
+    full = predict_linear_blend(config, params, bn, ds, batch_size=4)
+    # budget forcing ~3 bands: 32 rows x 64 cols x 4 rasters
+    streamed = predict_linear_blend_streaming(
+        config, params, bn, ds, batch_size=4,
+        max_device_pixels=32 * 64 * 4)
+    np.testing.assert_allclose(streamed, full, rtol=1e-5, atol=1e-4)
