@@ -29,7 +29,11 @@ from resdepth_tpu.data import control_files
 from resdepth_tpu.data.dataset import TileDataset
 from resdepth_tpu.evaluation import evaluate_performance, get_statistics, print_statistics
 from resdepth_tpu.geo import raster as raster_mod
-from resdepth_tpu.infer import predict_linear_blend
+from resdepth_tpu.infer import predict_linear_blend, predict_linear_blend_streaming
+
+# Scenes whose rasters exceed this many device pixels (DSM + ortho views)
+# stream through row bands instead of residing in HBM whole.
+MAX_DEVICE_PIXELS = 1 << 30  # 4 GiB of f32
 from resdepth_tpu.models import torch_import
 from resdepth_tpu.models.unet import init_unet, unet_config_from_settings
 from resdepth_tpu.train import checkpoint as ckpt_io
@@ -153,9 +157,19 @@ def main() -> None:
                 ortho_mean=params_images["mean"], ortho_std=params_images["std"])
 
             logger.info("Predict...")
-            prediction = predict_linear_blend(
-                model_config, params, bn_state, tile_ds,
-                batch_size=batch_size, compute_dtype=compute_dtype)
+            n_views = 0 if tile_ds.orthos is None else tile_ds.orthos.shape[2]
+            scene_pixels = tile_ds.dsm_input.size * (1 + n_views)
+            if scene_pixels > MAX_DEVICE_PIXELS:
+                logger.info(f"Scene of {scene_pixels / 2**20:.0f} Mpx exceeds "
+                            "device budget; streaming row bands.")
+                prediction = predict_linear_blend_streaming(
+                    model_config, params, bn_state, tile_ds,
+                    max_device_pixels=MAX_DEVICE_PIXELS,
+                    batch_size=batch_size, compute_dtype=compute_dtype)
+            else:
+                prediction = predict_linear_blend(
+                    model_config, params, bn_state, tile_ds,
+                    batch_size=batch_size, compute_dtype=compute_dtype)
 
             area_defn = dataset.area_defn
             if dataset.get("raster_gt"):
