@@ -5,7 +5,6 @@ Parity with /root/reference/lib/validate_arguments.py:4-171.
 
 from __future__ import annotations
 
-import logging
 
 
 def _emit(logger, message: str) -> None:

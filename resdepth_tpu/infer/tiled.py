@@ -23,7 +23,6 @@ bands — see ops/blend.py).
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ Parity surface:
 from __future__ import annotations
 
 import json
-import os
 import time
 
 

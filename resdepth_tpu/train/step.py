@@ -17,7 +17,6 @@ bit-equivalent to single-device training at the same global batch size.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ mesh (gradients and BatchNorm statistics psum over ICI).
 from __future__ import annotations
 
 import logging
-import math
 import os
 import shutil
 import sys
