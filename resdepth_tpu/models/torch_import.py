@@ -114,6 +114,72 @@ def import_checkpoint(path: str, config: UNetConfig):
 _BUFFER_SUFFIXES = ("running_mean", "running_var", "num_batches_tracked")
 
 
+def state_dict_from_params(params, state, config: UNetConfig) -> dict:
+    """Convert (params, state) pytrees into a reference-layout state_dict.
+
+    Inverse of ``params_from_state_dict`` — lets models trained on TPU be
+    loaded by the reference PyTorch implementation (export interop).
+    """
+    sd: dict = {}
+
+    def put_conv(prefix, layer):
+        sd[f"{prefix}.weight"] = np.asarray(layer["kernel"]).transpose(3, 2, 0, 1)
+        if "bias" in layer:
+            sd[f"{prefix}.bias"] = np.asarray(layer["bias"])
+
+    def put_bn(prefix, bn_params, bn_state):
+        sd[f"{prefix}.weight"] = np.asarray(bn_params["scale"])
+        sd[f"{prefix}.bias"] = np.asarray(bn_params["bias"])
+        sd[f"{prefix}.running_mean"] = np.asarray(bn_state["mean"])
+        sd[f"{prefix}.running_var"] = np.asarray(bn_state["var"])
+        sd[f"{prefix}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+    def put_up(prefix, layer):
+        if config.up_mode == "transpose":
+            sd[f"{prefix}.weight"] = np.asarray(layer["kernel"]).transpose(2, 3, 0, 1)
+            sd[f"{prefix}.bias"] = np.asarray(layer["bias"])
+        else:
+            put_conv(f"{prefix}.1", layer)
+
+    act_index = 2 if config.do_BN else 1
+
+    def put_block(prefix, block, block_state, act_fn):
+        put_conv(f"{prefix}.0", block["conv"])
+        if config.do_BN:
+            put_bn(f"{prefix}.1", block["bn"], block_state["bn"])
+        if act_fn == "prelu":
+            sd[f"{prefix}.{act_index}.weight"] = np.asarray(block["act"]["alpha"])
+
+    for i, (block, block_state) in enumerate(zip(params["encoder"],
+                                                 state["encoder"])):
+        put_block(f"encoder.{i}.0", block, block_state, config.act_fn_encoder)
+    put_block("bottleneck", params["bottleneck"], state["bottleneck"],
+              config.act_fn_bottleneck)
+    for i in range(config.depth - 1):
+        put_up(f"decoder.{i}.0", params["decoder"][i]["up"])
+        put_block(f"decoder.{i}.1", params["decoder"][i],
+                  state["decoder"][i], config.act_fn_decoder)
+    put_up(f"decoder.{config.depth - 1}", params["decoder"][-1]["up"])
+    put_conv("last_layer", params["last"])
+    if config.outer_skip and config.outer_skip_BN:
+        put_bn("layer_outer_skip.0", params["outer_skip_bn"],
+               state["outer_skip_bn"]["bn"])
+    return sd
+
+
+def export_checkpoint(path: str, params, state, config: UNetConfig, *,
+                      epoch: int = 0, loss_train=None, loss_val=None) -> None:
+    """Write a reference-compatible .pth checkpoint (lib/Trainer.py:145-157
+    payload shape, minus optimizer state)."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) if np.ndim(v) else
+          torch.tensor(v) for k, v in state_dict_from_params(params, state,
+                                                             config).items()}
+    torch.save({"epoch": epoch, "model_state_dict": sd,
+                "loss_train": loss_train, "loss_val": loss_val}, path)
+
+
 def import_adam_state(path: str, config: UNetConfig):
     """Import a reference checkpoint's Adam optimizer state.
 

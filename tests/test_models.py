@@ -234,3 +234,32 @@ def test_import_adam_state(tmp_path):
     import optax
     adam_states = [s for s in opt_state if isinstance(s, optax.ScaleByAdamState)]
     assert adam_states and int(adam_states[0].count) == 3
+
+
+@pytest.mark.parametrize("overrides", [dict(), dict(up_mode="bilinear"),
+                                       dict(outer_skip_BN=True)])
+def test_export_checkpoint_roundtrip(tmp_path, overrides):
+    """Our pytrees -> reference .pth -> torch model produces identical outputs."""
+    import torch
+    from tests.torch_unet import TorchUNet
+    from resdepth_tpu.models.torch_import import export_checkpoint
+
+    config = _small_config(**overrides)
+    params, state = junet.init_unet(jax.random.PRNGKey(5), config)
+    path = str(tmp_path / "exported.pth")
+    export_checkpoint(path, params, state, config, epoch=4, loss_val=0.1)
+
+    model = TorchUNet(**_torch_kwargs(config))
+    blob = torch.load(path, weights_only=False)
+    assert blob["epoch"] == 4
+    model.load_state_dict(blob["model_state_dict"])
+    model.eval()
+
+    x = np.random.default_rng(8).normal(
+        size=(2, config.n_input_channels, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        torch_out = model(torch.from_numpy(x)).numpy()
+    ours, _ = junet.apply_unet(config, params, state,
+                               jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2), torch_out,
+                               rtol=1e-4, atol=1e-4)
