@@ -134,7 +134,9 @@ class Trainer:
             pending.append(metric)
 
             if (c_iter + 1) % self.freq_average_train_loss == 0:
-                for value in pending:
+                # One stacked transfer instead of per-scalar round-trips
+                # (device->host latency dominates on tunneled/remote devices).
+                for value in np.asarray(jnp.stack(pending)):
                     meter.update(float(value))
                 pending.clear()
                 curr_iter = num_iter * epoch + (c_iter + 1)
@@ -145,8 +147,9 @@ class Trainer:
                 self._last_train_loss = meter.avg
                 meter.reset()
 
-        for value in pending:
-            meter.update(float(value))
+        if pending:
+            for value in np.asarray(jnp.stack(pending)):
+                meter.update(float(value))
         if meter.count:
             self._last_train_loss = meter.avg
         return meter
@@ -154,16 +157,20 @@ class Trainer:
     def validate(self, epoch: int) -> float:
         meter = AverageMeter()
         key = jax.random.PRNGKey(0)  # eval path consumes no randomness
+        pending = []
         for loader_id, batch in self._epoch_batches(self.val_loaders,
                                                     shuffle_order=False):
             rasters = self.val_loaders[loader_id][0]
             positions, pair_idx, bounds, weights = batch
-            num, den = self.eval_step(self.state.params, self.state.bn_state,
-                                      rasters, positions, pair_idx, bounds,
-                                      weights, key)
-            den = float(den)
-            if den > 0:
-                meter.update(float(num) / den)
+            pending.append(self.eval_step(
+                self.state.params, self.state.bn_state, rasters, positions,
+                pair_idx, bounds, weights, key))
+        if pending:
+            sums = np.asarray(jnp.stack([num for num, _ in pending]))
+            counts = np.asarray(jnp.stack([den for _, den in pending]))
+            for num, den in zip(sums, counts):
+                if den > 0:
+                    meter.update(float(num) / float(den))
         loss = meter.avg if meter.count else math.inf
         self.writer.add_scalar("val/MAE_metric", loss, epoch)
         self.writer.add_scalar("val/learning_rate", self._lr(), epoch)
