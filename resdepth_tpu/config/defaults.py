@@ -89,6 +89,7 @@ def default_cfg() -> AttrDict:
         mesh_axis="data",
         use_pallas=True,
         prefetch_depth=2,
+        steps_per_call=1,
         profile_dir="",
         donate_state=True,
     )

@@ -48,9 +48,10 @@ def init_train_state(params, bn_state, tx, lr: float) -> TrainState:
                       step=jnp.asarray(0, jnp.int32))
 
 
-def _sharded(fn, mesh, axis_name, n_batch_args, n_state_out):
-    """shard_map wrapper: state/rasters replicated, batch axis-0 sharded."""
-    in_specs = (P(), P()) + (P(axis_name),) * n_batch_args + (P(),)
+def _sharded(fn, mesh, axis_name, n_batch_args, n_state_out, batch_axis=0):
+    """shard_map wrapper: state/rasters replicated, batch axis sharded."""
+    batch_spec = P(axis_name) if batch_axis == 0 else P(None, axis_name)
+    in_specs = (P(), P()) + (batch_spec,) * n_batch_args + (P(),)
     out_specs = (P(),) * n_state_out
     return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
                          out_specs=out_specs if n_state_out > 1 else P(),
@@ -59,12 +60,19 @@ def _sharded(fn, mesh, axis_name, n_batch_args, n_state_out):
 
 def make_train_step(config: UNetConfig, spec: BatchSpec, tx, mesh=None,
                     axis_name: str = "data", compute_dtype=jnp.float32,
-                    donate: bool = True):
+                    donate: bool = True, steps_per_call: int = 1):
     """Build the jitted train step.
 
     Signature: ``step(state, rasters, positions, pair_idx, bounds, weights,
     rng) -> (state, metric)`` where ``metric`` is the global denormalised
     masked MAE of the batch in meters.
+
+    ``steps_per_call > 1`` runs that many optimizer steps inside ONE jitted
+    program via ``lax.scan`` (batch arrays gain a leading steps dimension and
+    ``metric`` becomes a (steps,) vector). This amortises host dispatch
+    latency — one dispatch per K steps instead of per step — which matters
+    whenever per-step device time is small relative to host/interconnect
+    round-trips.
     """
     axis = axis_name if mesh is not None else None
 
@@ -100,8 +108,21 @@ def make_train_step(config: UNetConfig, spec: BatchSpec, tx, mesh=None,
         metric = num / jnp.maximum(den, 1.0)
         return new_state, metric
 
+    if steps_per_call > 1:
+        inner = step_fn
+
+        def step_fn(state, rasters, positions, pair_indices, bounds, weights,
+                    rng):
+            def body(carry, xs):
+                pos, pair, bd, w = xs
+                carry, metric = inner(carry, rasters, pos, pair, bd, w, rng)
+                return carry, metric
+            return jax.lax.scan(body, state,
+                                (positions, pair_indices, bounds, weights))
+
     if mesh is not None:
-        step_fn = _sharded(step_fn, mesh, axis_name, n_batch_args=4, n_state_out=2)
+        step_fn = _sharded(step_fn, mesh, axis_name, n_batch_args=4,
+                           n_state_out=2, batch_axis=1 if steps_per_call > 1 else 0)
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 

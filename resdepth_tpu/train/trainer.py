@@ -44,6 +44,7 @@ from resdepth_tpu.utils.logging import setup_logger
 
 class Trainer:
     def __init__(self, *, state: TrainState, train_step, eval_step,
+                 train_step_multi=None, steps_per_call: int = 1,
                  train_loaders, val_loaders, scheduler=None, n_epochs: int,
                  evaluate_rate: int = 1, save_model_rate: int = 20,
                  freq_average_train_loss: int = 20, checkpoint_dir: str,
@@ -60,6 +61,8 @@ class Trainer:
         """
         self.state = state
         self.train_step = train_step
+        self.train_step_multi = train_step_multi
+        self.steps_per_call = steps_per_call if train_step_multi is not None else 1
         self.eval_step = eval_step
         self.train_loaders = train_loaders
         self.val_loaders = val_loaders
@@ -119,21 +122,51 @@ class Trainer:
             self.epoch_rng.shuffle(batches)
         return batches
 
+    def _chunk_batches(self, batches):
+        """Group consecutive same-loader batches into steps_per_call chunks.
+
+        Yields ``(loader_id, [batch, ...])`` with chunk length either
+        ``steps_per_call`` (dispatched as one scanned program) or shorter
+        tails (dispatched per-batch).
+        """
+        k = self.steps_per_call
+        chunk: list = []
+        chunk_loader = None
+        for loader_id, batch in batches:
+            if chunk and (loader_id != chunk_loader or len(chunk) == k):
+                yield chunk_loader, chunk
+                chunk = []
+            chunk_loader = loader_id
+            chunk.append(batch)
+        if chunk:
+            yield chunk_loader, chunk
+
     def train_one_epoch(self, epoch: int) -> AverageMeter:
         meter = AverageMeter()
         pending = []  # device scalars, materialised lazily at logging points
         batches = self._epoch_batches(self.train_loaders, shuffle_order=True)
         num_iter = len(batches)
         key = jax.random.fold_in(self.base_key, epoch)
+        c_iter = -1
 
-        for c_iter, (loader_id, batch) in enumerate(batches):
+        for loader_id, chunk in self._chunk_batches(batches):
             rasters = self.train_loaders[loader_id][0]
-            positions, pair_idx, bounds, weights = batch
-            self.state, metric = self.train_step(
-                self.state, rasters, positions, pair_idx, bounds, weights, key)
-            pending.append(metric)
+            if len(chunk) == self.steps_per_call and self.train_step_multi is not None \
+                    and self.steps_per_call > 1:
+                stacked = [np.stack(arrays) for arrays in zip(*chunk)]
+                self.state, metrics = self.train_step_multi(
+                    self.state, rasters, *stacked, key)
+                pending.extend(metrics[i] for i in range(len(chunk)))
+                c_iter += len(chunk)
+            else:
+                for positions, pair_idx, bounds, weights in chunk:
+                    self.state, metric = self.train_step(
+                        self.state, rasters, positions, pair_idx, bounds,
+                        weights, key)
+                    pending.append(metric)
+                    c_iter += 1
 
-            if (c_iter + 1) % self.freq_average_train_loss == 0:
+            if len(pending) >= self.freq_average_train_loss:
                 # One stacked transfer instead of per-scalar round-trips
                 # (device->host latency dominates on tunneled/remote devices).
                 for value in np.asarray(jnp.stack(pending)):

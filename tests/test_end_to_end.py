@@ -242,3 +242,31 @@ def test_train_multi_region(make_geotiff, tmp_path, monkeypatch):
     assert (run_dir / "checkpoints" / "Model_best.npz").exists()
     metrics = (run_dir / "metrics.jsonl").read_text()
     assert "val/MAE_metric" in metrics
+
+
+def test_train_steps_per_call(make_geotiff, tmp_path, monkeypatch):
+    """tpu.steps_per_call > 1 trains via scanned multi-step dispatches."""
+    paths, _, _ = _write_scene(make_geotiff, tmp_path)
+    cfg = {
+        "datasets": [{
+            "name": "synthetic", "raster_in": paths["raster_in"],
+            "raster_gt": paths["raster_gt"], "area_type": "train+val",
+            "allocation_strategy": "5-crossval_vertical", "test_stripe": 1,
+            "n_training_samples": 24}],
+        "model": {"input_channels": "geom", "depth": 2, "start_kernel": 4,
+                  "max_filter_depth": 8},
+        "training_settings": {"tile_size": 16, "batch_size": 4, "n_epochs": 1,
+                              "augment": False, "loss": "L1"},
+        "optimizer": {"name": "Adam", "learning_rate": 0.001},
+        "scheduler": {"enabled": False},
+        "general": {"evaluate_rate": 1, "random_seed": 0},
+        "tpu": {"steps_per_call": 2},
+        "output": {"output_directory": str(tmp_path / "runs_spc")},
+    }
+    cfg_path = tmp_path / "spc.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    import train as train_cli
+    _run_cli(train_cli.main, str(cfg_path), monkeypatch)
+    run_dir = sorted((tmp_path / "runs_spc").iterdir())[0]
+    assert (run_dir / "checkpoints" / "Model_best.npz").exists()

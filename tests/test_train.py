@@ -245,3 +245,49 @@ def test_describe_unet():
     assert "encoder.0" in text and "bottleneck" in text and "total" in text
     from resdepth_tpu.models.unet import param_count
     assert f"{param_count(params):,}" in text
+
+
+def test_multi_step_per_call_matches_sequential():
+    """K steps in one scan'd dispatch == K sequential dispatched steps."""
+    config, spec, rasters, positions, pair_idx, bounds, weights = _toy_setup(batch=4)
+    tx = build_optimizer("Adam", 1e-5)
+    key = jax.random.PRNGKey(1)
+    k = 3
+
+    params, bn = init_unet(jax.random.PRNGKey(0), config)
+    state_seq = init_train_state(params, bn, tx, 1e-3)
+    step = make_train_step(config, spec, tx, mesh=None, donate=False)
+    seq_metrics = []
+    for _ in range(k):
+        state_seq, metric = step(state_seq, rasters, positions, pair_idx,
+                                 bounds, weights, key)
+        seq_metrics.append(float(metric))
+
+    params, bn = init_unet(jax.random.PRNGKey(0), config)
+    state_multi = init_train_state(params, bn, tx, 1e-3)
+    multi = make_train_step(config, spec, tx, mesh=None, donate=False,
+                            steps_per_call=k)
+    stack = lambda a: np.stack([a] * k)
+    state_multi, metrics = multi(state_multi, rasters, stack(positions),
+                                 stack(pair_idx), stack(bounds), stack(weights),
+                                 key)
+    np.testing.assert_allclose(np.asarray(metrics), seq_metrics, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state_seq.params),
+                    jax.tree_util.tree_leaves(state_multi.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_multi_step_sharded():
+    config, spec, rasters, positions, pair_idx, bounds, weights = _toy_setup(batch=8)
+    tx = build_optimizer("Adam", 0.0)
+    params, bn = init_unet(jax.random.PRNGKey(0), config)
+    state = init_train_state(params, bn, tx, 1e-3)
+    k = 2
+    multi = make_train_step(config, spec, tx, mesh=data_mesh(8), donate=False,
+                            steps_per_call=k)
+    stack = lambda a: np.stack([a] * k)
+    state, metrics = multi(state, rasters, stack(positions), stack(pair_idx),
+                           stack(bounds), stack(weights), jax.random.PRNGKey(1))
+    assert metrics.shape == (k,)
+    assert np.isfinite(np.asarray(metrics)).all()

@@ -292,6 +292,13 @@ def main() -> None:
                                  axis_name=cfg.tpu.mesh_axis,
                                  compute_dtype=compute_dtype,
                                  donate=cfg.tpu.donate_state)
+    steps_per_call = cfg.tpu.get("steps_per_call", 1)
+    train_step_multi = None
+    if steps_per_call > 1:
+        train_step_multi = make_train_step(
+            model_config, train_spec, tx, mesh=mesh,
+            axis_name=cfg.tpu.mesh_axis, compute_dtype=compute_dtype,
+            donate=cfg.tpu.donate_state, steps_per_call=steps_per_call)
     eval_step = make_eval_step(model_config, val_spec, mesh=mesh,
                                axis_name=cfg.tpu.mesh_axis,
                                compute_dtype=compute_dtype)
@@ -315,6 +322,7 @@ def main() -> None:
 
     trainer = Trainer(
         state=state, train_step=train_step, eval_step=eval_step,
+        train_step_multi=train_step_multi, steps_per_call=steps_per_call,
         train_loaders=train_loaders, val_loaders=val_loaders,
         scheduler=scheduler, n_epochs=cfg.training_settings.n_epochs,
         evaluate_rate=cfg.general.evaluate_rate,
