@@ -253,10 +253,12 @@ class BatchIndexIterator:
     """Host-side epoch iterator over sample indices with static batch shapes.
 
     Yields ``(positions, pair_indices, bounds, weights)`` numpy arrays of a
-    FIXED batch size: the final partial batch is padded by repeating its
-    first sample with weight 0, so jit never recompiles and padded samples
-    never contribute to loss or metrics (the reference's DataLoader instead
-    emits a ragged final batch — lib/utils.py:269).
+    FIXED batch size: the final partial batch is padded with DISTINCT
+    earlier samples of the epoch at weight 0, so jit never recompiles,
+    padded samples never contribute to loss or metrics, and training-mode
+    BatchNorm batch statistics stay computed over distinct real samples
+    (duplicate padding would bias them). The reference's DataLoader instead
+    emits a ragged final batch — lib/utils.py:269.
     """
 
     def __init__(self, ds: TileDataset, batch_size: int, shuffle: bool,
@@ -285,9 +287,12 @@ class BatchIndexIterator:
             if len(idx) < bs:
                 if self.drop_last:
                     return
-                pad = np.full(bs - len(idx), idx[0], idx.dtype)
+                n_pad = bs - len(idx)
+                # wrap-around: earlier samples of this epoch's order (distinct
+                # from the tail when n >= batch size)
+                pad = np.resize(order[:max(start, 1)], n_pad)
                 weights = np.concatenate([np.ones(len(idx), np.float32),
-                                          np.zeros(len(pad), np.float32)])
+                                          np.zeros(n_pad, np.float32)])
                 idx = np.concatenate([idx, pad])
             else:
                 weights = np.ones(bs, np.float32)

@@ -274,12 +274,19 @@ def _decompress(chunk: bytes, compression: int) -> bytes:
     raise ValueError(f"Unsupported TIFF compression: {compression}")
 
 
-def _undo_predictor(block: np.ndarray, predictor: int) -> np.ndarray:
-    if predictor == 2:
-        return np.cumsum(block, axis=1, dtype=block.dtype)
-    if predictor != 1:
+def _undo_predictor(block: np.ndarray, predictor: int, spp: int) -> np.ndarray:
+    """Undo horizontal differencing. ``block``: (rows, cols*spp) chunky rows;
+    differencing is per sample COMPONENT (TIFF 6.0 §14), so multi-band data
+    must be de-interleaved before the cumulative sum."""
+    if predictor == 1:
+        return block
+    if predictor != 2:
         raise ValueError(f"Unsupported TIFF predictor: {predictor}")
-    return block
+    if spp == 1:
+        return np.cumsum(block, axis=1, dtype=block.dtype)
+    rows = block.shape[0]
+    per_component = block.reshape(rows, -1, spp)
+    return np.cumsum(per_component, axis=1, dtype=block.dtype).reshape(rows, -1)
 
 
 def _read_ifd(f, offset: int, bo: str):
@@ -382,7 +389,7 @@ def read(path: str):
                 raw = _decompress(f.read(cnt), compression)
                 block = np.frombuffer(raw, dtype=dtype, count=tile_l * tile_w * spp)
                 block = block.reshape(tile_l, tile_w * spp)
-                block = _undo_predictor(block, predictor)
+                block = _undo_predictor(block, predictor, spp)
                 block = block.reshape(tile_l, tile_w, spp)
                 ty, tx = divmod(idx, tiles_across)
                 y0, x0 = ty * tile_l, tx * tile_w
@@ -400,7 +407,7 @@ def read(path: str):
                 n_rows = min(rows_per_strip, rows - y)
                 block = np.frombuffer(raw, dtype=dtype, count=n_rows * cols * spp)
                 block = block.reshape(n_rows, cols * spp)
-                block = _undo_predictor(block, predictor)
+                block = _undo_predictor(block, predictor, spp)
                 out[y:y + n_rows] = block.reshape(n_rows, cols, spp)
                 y += n_rows
 
@@ -493,9 +500,14 @@ def write(path: str, data: np.ndarray, *, geotransform=None, nodata=None,
                 else:
                     tags.append((tag_id, 2, value))
     if nodata is not None:
+        import math
         nodata_float = float(nodata)
-        text = str(int(nodata_float)) if nodata_float == int(nodata_float) \
-            else repr(nodata_float)
+        if not math.isfinite(nodata_float):
+            text = "nan" if math.isnan(nodata_float) else repr(nodata_float)
+        elif nodata_float == int(nodata_float):
+            text = str(int(nodata_float))
+        else:
+            text = repr(nodata_float)
         tags.append((GDAL_NODATA, 2, text))
 
     # Layout: header(8) | IFD | out-of-line values | strip data

@@ -83,11 +83,13 @@ class ReduceLROnPlateau(_SchedulerBase):
         if metric < self.best * (1.0 - self.threshold):
             self.best = metric
             self.num_bad = 0
-        elif self.cooldown_counter > 0:
-            self.cooldown_counter -= 1
-            self.num_bad = 0
         else:
             self.num_bad += 1
+        # torch semantics: the cooldown window ticks down on EVERY step while
+        # active (improvement or not) and suppresses bad-epoch counting.
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.num_bad = 0
 
         if self.num_bad > self.patience:
             new_lr = max(self.lr * self.factor, self.min_lr)

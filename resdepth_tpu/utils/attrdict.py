@@ -49,6 +49,17 @@ class AttrDict(dict):
         except KeyError:
             raise AttributeError(name) from None
 
+    def update(self, *args, **kwargs):
+        # dict.update is C-level and bypasses __setitem__; route through it
+        # so merged values keep attribute access (nested dicts get wrapped).
+        for key, value in dict(*args, **kwargs).items():
+            self[key] = value
+
+    def setdefault(self, key, default=None):
+        if key not in self:
+            self[key] = default
+        return self[key]
+
     def __deepcopy__(self, memo):
         out = AttrDict()
         memo[id(self)] = out

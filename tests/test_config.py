@@ -175,3 +175,11 @@ def test_validate_infer_rejects_missing_weights(make_geotiff, tmp_path):
     }
     result = validate_infer.validate_and_update_cfg_file(cfg, logger)
     assert result.status is False
+
+
+def test_attrdict_update_wraps_nested():
+    d = AttrDict({"a": 1})
+    d.update({"settings": {"n_input_channels": 4}})
+    assert d.settings.n_input_channels == 4   # attribute access after update
+    d.setdefault("general", {"tile_size": 16})
+    assert d.general.tile_size == 16

@@ -258,3 +258,27 @@ def test_lzw_tiff_roundtrip_uses_native(tmp_path):
     tiff.write(path, data, compress="lzw")
     out, _ = tiff.read(path)
     np.testing.assert_array_equal(out, data)
+
+
+def test_undo_predictor_multiband():
+    """Predictor-2 differencing is per sample component (TIFF 6.0 §14)."""
+    rng = np.random.default_rng(4)
+    original = rng.integers(0, 255, (5, 7, 3)).astype(np.uint8)
+    # forward horizontal differencing per component
+    diffed = original.copy()
+    diffed[:, 1:, :] = original[:, 1:, :] - original[:, :-1, :]
+    restored = tiff._undo_predictor(diffed.reshape(5, 7 * 3), 2, spp=3)
+    np.testing.assert_array_equal(restored.reshape(5, 7, 3), original)
+    # single band unchanged semantics
+    single = rng.integers(0, 255, (4, 6)).astype(np.uint8)
+    sdiff = single.copy()
+    sdiff[:, 1:] = single[:, 1:] - single[:, :-1]
+    np.testing.assert_array_equal(tiff._undo_predictor(sdiff, 2, spp=1), single)
+
+
+def test_tiff_nan_nodata_roundtrip(tmp_path):
+    data = np.ones((4, 4), np.float32)
+    path = str(tmp_path / "nan.tif")
+    tiff.write(path, data, nodata=float("nan"))
+    _, info = tiff.read(path)
+    assert np.isnan(info.nodata)

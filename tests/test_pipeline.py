@@ -287,3 +287,16 @@ def test_streaming_inference_matches_full(make_geotiff):
         config, params, bn, ds, batch_size=4,
         max_device_pixels=32 * 64 * 4)
     np.testing.assert_allclose(streamed, full, rtol=1e-5, atol=1e-4)
+
+
+def test_batch_iterator_pads_with_distinct_samples(make_geotiff):
+    paths, *_ = _scene(make_geotiff)
+    ds = _dataset(paths)  # 8 samples
+    it = BatchIndexIterator(ds, batch_size=5, shuffle=True, seed=1)
+    batches = list(it)
+    assert len(batches) == 2
+    positions, pair_idx, bounds, weights = batches[-1]
+    assert weights.tolist() == [1.0, 1.0, 1.0, 0.0, 0.0]
+    # padded rows must be distinct real samples, not duplicates of row 0
+    rows = {tuple(p) for p in positions}
+    assert len(rows) == 5

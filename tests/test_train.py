@@ -291,3 +291,23 @@ def test_multi_step_sharded():
                            stack(bounds), stack(weights), jax.random.PRNGKey(1))
     assert metrics.shape == (k,)
     assert np.isfinite(np.asarray(metrics)).all()
+
+
+def test_plateau_cooldown_with_improvement_matches_torch():
+    """Improvement during cooldown must still tick the cooldown window."""
+    import torch
+
+    param = torch.nn.Parameter(torch.zeros(1))
+    optimizer = torch.optim.SGD([param], lr=0.1)
+    torch_sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        optimizer, mode="min", factor=0.5, patience=1, cooldown=3)
+    ours = schedulers.ReduceLROnPlateau(0.1, factor=0.5, patience=1, cooldown=3)
+
+    # trigger a reduction, then improve DURING cooldown, then plateau again
+    metrics = [1.0, 1.1, 1.2, 0.5, 0.4, 0.6, 0.7, 0.8, 0.9, 1.0, 1.1]
+    for metric in metrics:
+        torch_sched.step(metric)
+        ours.step(metric)
+        np.testing.assert_allclose(ours.lr, optimizer.param_groups[0]["lr"],
+                                   rtol=1e-10,
+                                   err_msg=f"diverged at metric {metric}")

@@ -88,10 +88,14 @@ def _warm_start_artifacts(pretrained_path, output_dir, checkpoint_dir,
                           tboard_log_dir, logger):
     """Copy prior-run artifacts into the new run dir (lib/utils.py:415-436)."""
     experiment_dir = Path(pretrained_path).parent.parent
-    prior_tboard = experiment_dir.parent / "logs" / experiment_dir.name
-    if prior_tboard.is_dir():
-        for tb_file in prior_tboard.glob("events.*"):
-            shutil.copy(tb_file, Path(tboard_log_dir) / tb_file.name)
+    # Events live under <run_dir>/logs/<run_name> with the default layout, or
+    # under the user-supplied tboard root beside the runs directory.
+    for prior_tboard in (experiment_dir / "logs" / experiment_dir.name,
+                         experiment_dir.parent / "logs" / experiment_dir.name):
+        if prior_tboard.is_dir():
+            for tb_file in prior_tboard.glob("events.*"):
+                shutil.copy(tb_file, Path(tboard_log_dir) / tb_file.name)
+            break
     prior_log = experiment_dir / "training.log"
     if prior_log.exists():
         shutil.copy(prior_log, os.path.join(output_dir, "training.log"))
@@ -155,8 +159,16 @@ def main() -> None:
     # --------------------------- normalization ---------------------------- #
     logger.info("\n\nData normalization\n-------------------\n")
     logger.info("Compute standard deviation over all centered DSM training patches...\n")
-    norm_datasets = _build_datasets(cfg_traindata, cfg, "train", 1.0, None, None,
-                                    seed, False, False, False)
+    # The sigma pass reads only the DSM band — build geom-mode datasets so the
+    # ortho stacks are not decoded and held in RAM twice.
+    norm_entries = [
+        {k: entry[k] for k in ("name", "raster_gt", "raster_in", "area_defn",
+                               "n_samples") if k in entry}
+        for entry in cfg_traindata]
+    norm_cfg = cfg.copy()
+    norm_cfg.model.input_channels = "geom"
+    norm_datasets = _build_datasets(norm_entries, norm_cfg, "train", 1.0, None,
+                                    None, seed, False, False, False)
     all_stds = np.concatenate([
         normalization.patch_stds_from_positions(
             ds.dsm_input, ds.nodata, ds.positions, ds.tile_size)
