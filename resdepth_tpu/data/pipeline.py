@@ -40,10 +40,17 @@ from resdepth_tpu.data.dataset import TileDataset
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class DeviceRasters:
-    """Scene rasters + pair table living in device memory."""
+    """Scene rasters + pair table living in device memory.
+
+    Orthos are stored IMAGE-MAJOR, (n_images, rows, cols): the TPU tiles the
+    two minor-most dims, so a trailing images axis of size ~3 would be padded
+    to the 128-lane width — ~40x wasted HBM and gather bandwidth (measured:
+    the image-minor layout made full-scene inference ~100x slower than the
+    model itself).
+    """
     dsm_input: jax.Array            # (rows, cols) f32
     dsm_target: jax.Array | None    # (rows, cols) f32 or None
-    orthos: jax.Array | None        # (rows, cols, n_images) f32 or None
+    orthos: jax.Array | None        # (n_images, rows, cols) f32 or None
     pairs: jax.Array                # (P, V) int32
     nodata: jax.Array               # () f32
 
@@ -81,7 +88,8 @@ def device_put_dataset(ds: TileDataset, sharding=None) -> DeviceRasters:
     return DeviceRasters(
         dsm_input=put(jnp.asarray(ds.dsm_input)),
         dsm_target=put(jnp.asarray(ds.dsm_target)) if ds.dsm_target is not None else None,
-        orthos=put(jnp.asarray(ds.orthos)) if ds.orthos is not None else None,
+        orthos=(put(jnp.asarray(ds.orthos.transpose(2, 0, 1)))
+                if ds.orthos is not None else None),
         pairs=jnp.asarray(ds.pairs_array),
         nodata=jnp.asarray(ds.nodata, jnp.float32),
     )
@@ -114,11 +122,11 @@ def _gather_tiles(raster, positions, tile):
 
 
 def _gather_ortho_views(orthos, positions, view_ids, tile):
-    """(B, T, T, V) ortho patches; view_ids: (B, V) image indices."""
+    """(B, T, T, V) ortho patches; orthos: (I, rows, cols); view_ids: (B, V)."""
     def slice_one(pos, views):
         def one_view(v):
-            return jax.lax.dynamic_slice(orthos, (pos[0], pos[1], v),
-                                         (tile, tile, 1))[..., 0]
+            return jax.lax.dynamic_slice(orthos, (v, pos[0], pos[1]),
+                                         (1, tile, tile))[0]
         return jax.vmap(one_view, out_axes=-1)(views)
     return jax.vmap(slice_one)(positions, view_ids)
 

@@ -215,8 +215,8 @@ def predict_linear_blend_streaming(config: UNetConfig, params, bn_state,
         band_rasters = DeviceRasters(
             dsm_input=jnp.asarray(ds.dsm_input[window]),
             dsm_target=None,
-            orthos=(jnp.asarray(ds.orthos[window]) if ds.orthos is not None
-                    else None),
+            orthos=(jnp.asarray(ds.orthos[window].transpose(2, 0, 1))
+                    if ds.orthos is not None else None),
             pairs=jnp.asarray(ds.pairs_array),
             nodata=jnp.asarray(ds.nodata, jnp.float32))
 

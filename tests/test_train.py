@@ -216,7 +216,8 @@ def test_train_step_all_channel_modes(channels, n_views, outer_skip):
     orthos = rng.normal(120.0, 25.0, (rows, cols, 4)).astype(np.float32)
     pairs = np.arange(n_views, dtype=np.int32)[None, :]
 
-    rasters = DeviceRasters(jnp.asarray(dsm), jnp.asarray(gt), jnp.asarray(orthos),
+    rasters = DeviceRasters(jnp.asarray(dsm), jnp.asarray(gt),
+                            jnp.asarray(orthos.transpose(2, 0, 1)),
                             jnp.asarray(pairs), jnp.asarray(-9999.0, jnp.float32))
     from resdepth_tpu.config.schema import count_input_channels
     n_in = count_input_channels(channels, f"{n_views}-view")
