@@ -47,8 +47,17 @@ def _pad_round_up(array, n, pad_value=0):
     return np.concatenate([array, pad_block], axis=0)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
 def _make_scene_fn(config: UNetConfig, spec: BatchSpec, shape, dsm_std,
                    compute_dtype, mesh, axis_name, use_pallas):
+    """Build (and cache) the jitted scene program.
+
+    Memoised on its static configuration: a fresh closure per call would give
+    jax.jit a new function identity and force a retrace/recompile for every
+    predict call (e.g. per image pair in test.py)."""
 
     def scene_fn(params, bn_state, rasters, pos_b, pair_b, wy_b, wx_b):
         zeros_bounds = jnp.zeros((pos_b.shape[1], 4), jnp.int32)
@@ -115,7 +124,8 @@ def _predict_tiles(config, params, bn_state, rasters, positions, pair_idx,
     wy = _pad_round_up(wy, n_padded, 0.0)   # zero weights: padding adds nothing
     wx = _pad_round_up(wx, n_padded, 0.0)
 
-    scene_fn = _make_scene_fn(config, spec, shape, dsm_std, compute_dtype,
+    scene_fn = _make_scene_fn(config, spec, tuple(shape), float(dsm_std),
+                              compute_dtype,
                               mesh, axis_name if mesh is not None else None,
                               use_pallas)
     out = scene_fn(params, bn_state, rasters,
