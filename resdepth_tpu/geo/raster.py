@@ -53,18 +53,42 @@ class Raster:
         }
 
 
+import os as _os
+
+_OPEN_CACHE: dict = {}
+_OPEN_CACHE_MAX = 16
+
+
 def open_raster(fn) -> Raster:
-    """Load a GeoTIFF file (or pass through an already-open Raster)."""
+    """Load a GeoTIFF file (or pass through an already-open Raster).
+
+    Decoded rasters are cached keyed on (path, mtime, size): inference
+    iterates image pairs over the same scene and the reference re-reads every
+    raster per pair (lib/DsmOrthoDataset.py:293-314); callers treat the
+    returned arrays as read-only (all consumers copy via astype).
+    """
     if isinstance(fn, Raster):
         return fn
+    try:
+        stat = _os.stat(fn)
+        key = (fn, stat.st_mtime_ns, stat.st_size)
+    except OSError:
+        key = None
+    if key is not None and key in _OPEN_CACHE:
+        return _OPEN_CACHE[key]
     data, info = tiff.read(fn)
     geo_tags = {t: info.tags[t] for t in (tiff.GEO_KEY_DIRECTORY,
                                           tiff.GEO_DOUBLE_PARAMS,
                                           tiff.GEO_ASCII_PARAMS,
                                           tiff.GDAL_METADATA)
                 if t in info.tags}
-    return Raster(data=data, geotransform=info.geotransform, nodata=info.nodata,
-                  geo_tags=geo_tags, path=fn if isinstance(fn, str) else None)
+    raster = Raster(data=data, geotransform=info.geotransform, nodata=info.nodata,
+                    geo_tags=geo_tags, path=fn if isinstance(fn, str) else None)
+    if key is not None:
+        if len(_OPEN_CACHE) >= _OPEN_CACHE_MAX:
+            _OPEN_CACHE.pop(next(iter(_OPEN_CACHE)))
+        _OPEN_CACHE[key] = raster
+    return raster
 
 
 def get_raster_extent(fn) -> dict:

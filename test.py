@@ -132,6 +132,7 @@ def main() -> None:
         raster_in = raster_mod.open_raster(dataset.raster_in)
 
         residual_pool: dict[str, list] = {}
+        device_rasters = None  # scene rasters upload once, reused per pair
 
         for image_pair in image_pairs:
             if image_pair is not None:
@@ -167,9 +168,18 @@ def main() -> None:
                     max_device_pixels=MAX_DEVICE_PIXELS,
                     batch_size=batch_size, compute_dtype=compute_dtype)
             else:
+                import dataclasses
+
+                from resdepth_tpu.data.pipeline import device_put_dataset
+                import jax.numpy as jnp_mod
+                if device_rasters is None:
+                    device_rasters = device_put_dataset(tile_ds)
+                pair_rasters = dataclasses.replace(
+                    device_rasters, pairs=jnp_mod.asarray(tile_ds.pairs_array))
                 prediction = predict_linear_blend(
                     model_config, params, bn_state, tile_ds,
-                    batch_size=batch_size, compute_dtype=compute_dtype)
+                    batch_size=batch_size, compute_dtype=compute_dtype,
+                    rasters=pair_rasters)
 
             area_defn = dataset.area_defn
             if dataset.get("raster_gt"):
