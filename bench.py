@@ -22,7 +22,7 @@ import time
 import numpy as np
 
 TILE = 256
-BATCH = 32
+BATCH = 128  # deep layers need large batch to fill the MXU (measured +35% vs 32)
 TIMED_ITERS = 16
 TORCH_TILES = 4
 
@@ -154,8 +154,9 @@ def main() -> None:
             f"({tpu_bf16 / torch_cpu:.0f}x torch-cpu); "
             f"f32 (parity path): {tpu_f32:.0f} tiles/sec "
             f"({tpu_f32 / torch_cpu:.0f}x torch-cpu)")
-    # Headline: the f32 parity path (bf16 is faster but outside the <=1 cm
-    # MAE parity budget until validated — reported on stderr above).
+    # Headline: the f32 parity path. bf16 is ~1.7x faster but measured OUTSIDE
+    # the <=1 cm parity budget on trained weights (mean 1.16 cm deviation —
+    # BASELINE.md); it stays an opt-in serving mode, reported on stderr above.
     print(json.dumps({
         "metric": "tile_throughput_256px_stereo_unet_f32",
         "value": round(tpu_f32, 2),
