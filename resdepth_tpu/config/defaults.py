@@ -88,7 +88,6 @@ def default_cfg() -> AttrDict:
         data_parallel=True,
         mesh_axis="data",
         use_pallas=True,
-        prefetch_depth=2,
         steps_per_call=1,
         profile_dir="",
         donate_state=True,

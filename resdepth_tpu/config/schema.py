@@ -57,7 +57,6 @@ TPU_KEYS = [
     "data_parallel",        # bool — shard batches over the device mesh
     "mesh_axis",            # name of the data-parallel mesh axis
     "use_pallas",           # bool — enable fused Pallas kernels where available
-    "prefetch_depth",       # host→device pipeline depth
     "steps_per_call",       # optimizer steps per jitted dispatch (lax.scan)
     "profile_dir",          # jax.profiler trace output directory ('' = off)
     "donate_state",         # donate train-state buffers in the jitted step

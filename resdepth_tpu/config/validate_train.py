@@ -286,9 +286,9 @@ def _valid_tpu_args(cfg_user, logger) -> bool:
     for key in ("data_parallel", "use_pallas", "donate_state"):
         if key in tpu and not is_boolean(tpu[key], key, logger):
             error = True
-    for key in ("prefetch_depth", "steps_per_call"):
-        if key in tpu and not is_positive_integer(tpu[key], key, logger):
-            error = True
+    if "steps_per_call" in tpu and not is_positive_integer(
+            tpu.steps_per_call, "steps_per_call", logger):
+        error = True
     for key in ("mesh_axis", "profile_dir"):
         if key in tpu and not is_string(tpu[key], key, logger):
             error = True
