@@ -31,6 +31,15 @@ def axis_weights(tile_size: int, stride: int, ul: int, lr: int) -> np.ndarray:
     weights = np.ones(tile_size, dtype=np.float32)
     overlap = tile_size - stride
     if overlap <= 0:
+        # Non-overlapping grid: overlap exists only where an edge-shifted
+        # final tile re-covers earlier tiles. No ramp band exists, so the
+        # exclusive-region indicator is the exact partition of unity. (The
+        # reference never blends at stride == tile — lib/evaluation.py:460 is
+        # only called on stride = tile/2 grids — and its weight code would
+        # fail on this case; this generalisation keeps stitching exact for
+        # any stride.)
+        weights[:ul] = 0.0
+        weights[lr + 1:] = 0.0
         return weights
     ramp = np.linspace(0.0, 1.0, overlap, endpoint=True, dtype=np.float32)
 

@@ -282,3 +282,37 @@ def test_tiff_nan_nodata_roundtrip(tmp_path):
     tiff.write(path, data, nodata=float("nan"))
     _, info = tiff.read(path)
     assert np.isnan(info.nodata)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_create_regular_grid_property(seed):
+    """Random regions: full coverage, in-bounds tiles, exclusive partition."""
+    rng = np.random.default_rng(seed)
+    tile = int(rng.choice([8, 16]))
+    stride = int(rng.choice([tile, tile // 2]))
+    y0 = int(rng.integers(0, 5)); x0 = int(rng.integers(0, 5))
+    y1 = y0 + tile + int(rng.integers(0, 40))
+    x1 = x0 + tile + int(rng.integers(0, 40))
+    area = {"x_extent": [(x0, x1)], "y_extent": [(y0, y1)]}
+    positions, borders = grid.create_regular_grid(area, tile, stride)
+
+    coverage = np.zeros((y1 + 1, x1 + 1), np.int32)
+    exclusive = np.zeros_like(coverage)
+    for (uly, ulx), (b_uly, b_ulx, b_lry, b_lrx) in zip(positions, borders):
+        assert y0 <= uly and uly + tile - 1 <= y1
+        assert x0 <= ulx and ulx + tile - 1 <= x1
+        coverage[uly:uly + tile, ulx:ulx + tile] += 1
+        if b_uly <= b_lry and b_ulx <= b_lrx:
+            exclusive[uly + b_uly:uly + b_lry + 1,
+                      ulx + b_ulx:ulx + b_lrx + 1] += 1
+    region = np.s_[y0:y1 + 1, x0:x1 + 1]
+    assert (coverage[region] >= 1).all()          # full coverage
+    if stride == tile:
+        np.testing.assert_array_equal(exclusive[region], 1)  # exact partition
+    # blend weights are a partition of unity for any stride
+    wy, wx = __import__("resdepth_tpu.ops.blend", fromlist=["blend"]).weight_table(
+        tile, stride, borders)
+    acc = np.zeros((y1 + 1, x1 + 1))
+    for i, (uly, ulx) in enumerate(positions):
+        acc[uly:uly + tile, ulx:ulx + tile] += np.outer(wy[i], wx[i])
+    np.testing.assert_allclose(acc[region], 1.0, atol=1e-5)
