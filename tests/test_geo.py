@@ -316,3 +316,27 @@ def test_create_regular_grid_property(seed):
     for i, (uly, ulx) in enumerate(positions):
         acc[uly:uly + tile, ulx:ulx + tile] += np.outer(wy[i], wx[i])
     np.testing.assert_allclose(acc[region], 1.0, atol=1e-5)
+
+
+def test_tiff_interop_with_pillow(tmp_path):
+    """Cross-library validation: Pillow reads our files, we read Pillow's."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+
+    # ours -> Pillow (float32, deflate)
+    data = np.random.default_rng(11).normal(400, 20, (30, 41)).astype(np.float32)
+    ours_path = str(tmp_path / "ours.tif")
+    tiff.write(ours_path, data, compress="deflate", nodata=-9999.0)
+    with PIL_Image.open(ours_path) as img:
+        pil_view = np.asarray(img)
+    np.testing.assert_array_equal(pil_view, data)
+
+    # Pillow -> ours (uint8 and float32, multiple compressions)
+    for mode_data, mode in ((np.random.default_rng(12).integers(
+            0, 255, (25, 33)).astype(np.uint8), None),
+            (data, "F")):
+        for compression in (None, "tiff_lzw", "tiff_adobe_deflate"):
+            pil_path = str(tmp_path / f"pil_{mode}_{compression}.tif")
+            PIL_Image.fromarray(mode_data, mode=mode).save(
+                pil_path, compression=compression)
+            out, _ = tiff.read(pil_path)
+            np.testing.assert_array_equal(out, mode_data)
