@@ -30,10 +30,6 @@ from resdepth_tpu.data.dataset import TileDataset
 from resdepth_tpu.evaluation import evaluate_performance, get_statistics, print_statistics
 from resdepth_tpu.geo import raster as raster_mod
 from resdepth_tpu.infer import predict_linear_blend, predict_linear_blend_streaming
-
-# Scenes whose rasters exceed this many device pixels (DSM + ortho views)
-# stream through row bands instead of residing in HBM whole.
-MAX_DEVICE_PIXELS = 1 << 30  # 4 GiB of f32
 from resdepth_tpu.models import torch_import
 from resdepth_tpu.models.unet import init_unet, unet_config_from_settings
 from resdepth_tpu.train import checkpoint as ckpt_io
@@ -41,6 +37,10 @@ from resdepth_tpu.utils import fs
 from resdepth_tpu.utils.logging import add_console_logger, add_file_logger, setup_logger
 
 RESIDUAL_THRESHOLD = None
+
+# Scenes whose rasters exceed this many device pixels (DSM + ortho views)
+# stream through row bands instead of residing in HBM whole.
+MAX_DEVICE_PIXELS = 1 << 30  # 4 GiB of f32
 
 parser = ArgumentParser(description="ResDepth-TPU: refine full DSM scenes with a "
                                     "trained model and evaluate against ground truth.")
@@ -79,6 +79,11 @@ def main() -> None:
     cfg = eval_cfg.cfg
     cfg_orig = cfg_io.read_json(cfg_file)
     add_file_logger(logger, log_file=os.path.join(cfg.output.directory, "run.log"))
+
+    from resdepth_tpu.utils import compilation_cache
+    cache_dir = compilation_cache.enable()
+    if cache_dir:
+        logger.info(f"XLA compilation cache: {cache_dir}")
 
     # ----------------------- data allocation & inputs ---------------------- #
     logger.info("Perform data allocation...")

@@ -144,6 +144,11 @@ def main() -> None:
     seed = cfg.general.random_seed if cfg.general.random_seed is not None else 0
     np.random.seed(seed)
 
+    from resdepth_tpu.utils import compilation_cache
+    cache_dir = compilation_cache.enable()
+    if cache_dir:
+        logger.info(f"XLA compilation cache: {cache_dir}")
+
     # --------------------- data allocation & pair lists --------------------- #
     logger.info("\n\n\nData initialization\n-------------------\n")
     if cfg.model.input_channels != "geom":
