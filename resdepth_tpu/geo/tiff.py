@@ -289,22 +289,38 @@ def _undo_predictor(block: np.ndarray, predictor: int, spp: int) -> np.ndarray:
     return np.cumsum(per_component, axis=1, dtype=block.dtype).reshape(rows, -1)
 
 
-def _read_ifd(f, offset: int, bo: str):
+def _read_ifd(f, offset: int, bo: str, big: bool = False):
+    """Parse one IFD. Classic: 12-byte entries, u32 offsets; BigTIFF (magic
+    43): 20-byte entries, u64 counts/offsets, extra LONG8/SLONG8/IFD8 types."""
+    entry_size = 20 if big else 12
+    inline_cap = 8 if big else 4
     f.seek(offset)
-    (n_entries,) = struct.unpack(bo + "H", f.read(2))
-    entries = f.read(n_entries * 12)
-    (next_ifd,) = struct.unpack(bo + "I", f.read(4))
+    if big:
+        (n_entries,) = struct.unpack(bo + "Q", f.read(8))
+    else:
+        (n_entries,) = struct.unpack(bo + "H", f.read(2))
+    entries = f.read(n_entries * entry_size)
+    next_ifd = struct.unpack(bo + ("Q" if big else "I"),
+                             f.read(8 if big else 4))[0]
     tags = {}
+    field_types = dict(_FIELD_TYPES)
+    field_types.update({16: ("Q", 8), 17: ("q", 8), 18: ("Q", 8)})
     for k in range(n_entries):
-        tag, ftype, count = struct.unpack_from(bo + "HHI", entries, k * 12)
-        if ftype not in _FIELD_TYPES:
-            continue
-        fmt, size = _FIELD_TYPES[ftype]
-        total = size * count
-        if total <= 4:
-            raw = entries[k * 12 + 8: k * 12 + 8 + total]
+        base = k * entry_size
+        if big:
+            tag, ftype, count = struct.unpack_from(bo + "HHQ", entries, base)
         else:
-            (value_offset,) = struct.unpack_from(bo + "I", entries, k * 12 + 8)
+            tag, ftype, count = struct.unpack_from(bo + "HHI", entries, base)
+        if ftype not in field_types:
+            continue
+        fmt, size = field_types[ftype]
+        total = size * count
+        value_base = base + (12 if big else 8)
+        if total <= inline_cap:
+            raw = entries[value_base: value_base + total]
+        else:
+            value_offset = struct.unpack_from(bo + ("Q" if big else "I"),
+                                              entries, value_base)[0]
             pos = f.tell()
             f.seek(value_offset)
             raw = f.read(total)
@@ -335,10 +351,17 @@ def _read_header_and_tags(f):
     else:
         raise ValueError("Not a TIFF file")
     (magic,) = struct.unpack(bo + "H", header[2:4])
-    if magic != 42:
-        raise ValueError(f"Unsupported TIFF magic {magic} (BigTIFF not supported)")
-    (ifd_offset,) = struct.unpack(bo + "I", header[4:8])
-    tags, _ = _read_ifd(f, ifd_offset, bo)
+    if magic == 42:
+        (ifd_offset,) = struct.unpack(bo + "I", header[4:8])
+        tags, _ = _read_ifd(f, ifd_offset, bo)
+    elif magic == 43:  # BigTIFF
+        offset_size, reserved = struct.unpack(bo + "HH", header[4:8])
+        if offset_size != 8 or reserved != 0:
+            raise ValueError("Malformed BigTIFF header")
+        (ifd_offset,) = struct.unpack(bo + "Q", f.read(8))
+        tags, _ = _read_ifd(f, ifd_offset, bo, big=True)
+    else:
+        raise ValueError(f"Unsupported TIFF magic {magic}")
 
     info = TiffInfo(
         width=int(tags[IMAGE_WIDTH]),
@@ -430,7 +453,8 @@ def _encode_value(ftype, values, bo):
 
 
 def write(path: str, data: np.ndarray, *, geotransform=None, nodata=None,
-          geo_tags=None, compress: str = "deflate") -> None:
+          geo_tags=None, compress: str = "deflate",
+          bigtiff: bool | None = None) -> None:
     """Write ``data`` as a (Geo)TIFF.
 
     ``data``: (rows, cols) or (rows, cols, bands), any supported dtype.
@@ -510,22 +534,52 @@ def write(path: str, data: np.ndarray, *, geotransform=None, nodata=None,
             text = repr(nodata_float)
         tags.append((GDAL_NODATA, 2, text))
 
-    # Layout: header(8) | IFD | out-of-line values | strip data
+    # BigTIFF (magic 43, 8-byte offsets) when payload approaches the classic
+    # 4 GiB addressing limit, or when forced.
+    total_strip_bytes = sum(len(s) for s in strips)
+    if bigtiff is None:
+        bigtiff = total_strip_bytes > (1 << 32) - (64 << 20)
+
+    offset_fmt = "Q" if bigtiff else "I"
+    offset_size = 8 if bigtiff else 4
+    inline_cap = 8 if bigtiff else 4
+    entry_size = 20 if bigtiff else 12
+    count_fmt = "Q" if bigtiff else "I"
+    offsets_ftype = 16 if bigtiff else 4  # LONG8 vs LONG
+
+    # Layout: header | IFD | out-of-line values | strip data
     strip_offsets_placeholder = [0] * len(strips)
-    tags.append((STRIP_OFFSETS, 4, strip_offsets_placeholder))
-    tags.append((STRIP_BYTE_COUNTS, 4, [len(s) for s in strips]))
+    tags.append((STRIP_OFFSETS, offsets_ftype, strip_offsets_placeholder))
+    tags.append((STRIP_BYTE_COUNTS, offsets_ftype, [len(s) for s in strips]))
     tags.sort(key=lambda t: t[0])
 
     n = len(tags)
-    ifd_offset = 8
-    values_offset = ifd_offset + 2 + n * 12 + 4
+    if bigtiff:
+        header_size = 16
+        ifd_offset = 16
+        values_offset = ifd_offset + 8 + n * entry_size + 8
+    else:
+        header_size = 8
+        ifd_offset = 8
+        values_offset = ifd_offset + 2 + n * entry_size + 4
+
+    field_sizes = dict(_FIELD_TYPES)
+    field_sizes.update({16: ("Q", 8), 17: ("q", 8), 18: ("Q", 8)})
+
+    def encode_value(ftype, values):
+        if ftype == 2:
+            return _encode_value(ftype, values, bo)
+        fmt, _ = field_sizes[ftype]
+        if not isinstance(values, (list, tuple)):
+            values = [values]
+        return struct.pack(bo + fmt * len(values), *values), len(values)
 
     encoded = []
     extra = bytearray()
     for tag_id, ftype, value in tags:
-        payload, count = _encode_value(ftype, value, bo)
-        if len(payload) <= 4:
-            inline = payload + b"\x00" * (4 - len(payload))
+        payload, count = encode_value(ftype, value)
+        if len(payload) <= inline_cap:
+            inline = payload + b"\x00" * (inline_cap - len(payload))
             encoded.append((tag_id, ftype, count, inline, None))
         else:
             if len(extra) % 2:
@@ -546,26 +600,32 @@ def write(path: str, data: np.ndarray, *, geotransform=None, nodata=None,
         pos += len(s)
 
     with open(path, "wb") as f:
-        f.write(b"II*\x00" + struct.pack(bo + "I", ifd_offset))
-        f.write(struct.pack(bo + "H", n))
+        if bigtiff:
+            f.write(b"II+\x00" + struct.pack(bo + "HH", 8, 0)
+                    + struct.pack(bo + "Q", ifd_offset))
+            f.write(struct.pack(bo + "Q", n))
+        else:
+            f.write(b"II*\x00" + struct.pack(bo + "I", ifd_offset))
+            f.write(struct.pack(bo + "H", n))
         for tag_id, ftype, count, inline, value_offset in encoded:
-            f.write(struct.pack(bo + "HHI", tag_id, ftype, count))
+            f.write(struct.pack(bo + "HH" + count_fmt, tag_id, ftype, count))
             if inline is not None:
                 if tag_id == STRIP_OFFSETS and count == 1:
-                    f.write(struct.pack(bo + "I", offsets[0]))
+                    f.write(struct.pack(bo + offset_fmt, offsets[0]).ljust(
+                        inline_cap, b"\x00"))
                 else:
                     f.write(inline)
             else:
-                f.write(struct.pack(bo + "I", value_offset))
-        f.write(struct.pack(bo + "I", 0))  # no next IFD
+                f.write(struct.pack(bo + offset_fmt, value_offset))
+        f.write(struct.pack(bo + offset_fmt, 0))  # no next IFD
         extra_bytes = bytes(extra)
         # Patch multi-strip offsets stored out-of-line.
         for tag_id, ftype, count, inline, value_offset in encoded:
             if tag_id == STRIP_OFFSETS and inline is None:
                 rel = value_offset - values_offset
-                extra_bytes = (extra_bytes[:rel]
-                               + struct.pack(bo + "I" * len(offsets), *offsets)
-                               + extra_bytes[rel + 4 * len(offsets):])
+                packed = struct.pack(bo + offset_fmt * len(offsets), *offsets)
+                extra_bytes = (extra_bytes[:rel] + packed
+                               + extra_bytes[rel + len(packed):])
         f.write(extra_bytes)
         for s in strips:
             f.write(s)

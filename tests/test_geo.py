@@ -340,3 +340,29 @@ def test_tiff_interop_with_pillow(tmp_path):
                 pil_path, compression=compression)
             out, _ = tiff.read(pil_path)
             np.testing.assert_array_equal(out, mode_data)
+
+
+@pytest.mark.parametrize("compress", ["none", "deflate"])
+def test_bigtiff_roundtrip(tmp_path, compress):
+    """BigTIFF (magic 43, 8-byte offsets) write + read."""
+    rng = np.random.default_rng(13)
+    data = rng.normal(400.0, 20.0, (50, 70)).astype(np.float32)
+    path = str(tmp_path / f"big_{compress}.tif")
+    gt = (465000.0, 0.25, 0.0, 5247000.0, 0.0, -0.25)
+    tiff.write(path, data, geotransform=gt, nodata=-9999.0, compress=compress,
+               bigtiff=True)
+    with open(path, "rb") as f:
+        assert f.read(4) == b"II+\x00"  # BigTIFF magic
+    out, info = tiff.read(path)
+    np.testing.assert_array_equal(out, data)
+    assert info.nodata == -9999.0
+    np.testing.assert_allclose(info.geotransform, gt)
+
+
+def test_bigtiff_interop_with_pillow(tmp_path):
+    PIL_Image = pytest.importorskip("PIL.Image")
+    data = np.random.default_rng(14).integers(0, 255, (20, 30)).astype(np.uint8)
+    path = str(tmp_path / "big_pil.tif")
+    tiff.write(path, data, compress="none", bigtiff=True)
+    with PIL_Image.open(path) as img:
+        np.testing.assert_array_equal(np.asarray(img), data)
