@@ -208,15 +208,23 @@ def _precision(x):
             else jax.lax.Precision.DEFAULT)
 
 
+def _preferred(x):
+    # f32 compute keeps f32 outputs. bf16 compute keeps bf16 outputs: the MXU
+    # accumulates in f32 internally either way, and requesting f32 outputs
+    # from bf16 inputs breaks autodiff (the conv transpose rule would pair a
+    # f32 cotangent with bf16 activations).
+    return jnp.float32 if x.dtype == jnp.float32 else x.dtype
+
+
 def _conv(x, layer, padding):
     kernel = layer["kernel"].astype(x.dtype)
     out = jax.lax.conv_general_dilated(
         x, kernel, window_strides=(1, 1), padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=_precision(x),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=_preferred(x))
     if "bias" in layer:
-        out = out + layer["bias"].astype(jnp.float32)
+        out = out + layer["bias"].astype(out.dtype)
     return out
 
 
@@ -285,10 +293,10 @@ def _upconv(x, up_params, up_mode):
         k2 = kernel.transpose(2, 0, 1, 3).reshape(kernel.shape[2], 4 * out_ch)
         out = jnp.dot(x.reshape(-1, x.shape[-1]), k2,
                       precision=_precision(x),
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=_preferred(x))
         out = out.reshape(n, h, w, 2, 2, out_ch)
         out = out.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, out_ch)
-        out = out + up_params["bias"].astype(jnp.float32)
+        out = out + up_params["bias"].astype(out.dtype)
         return out.astype(x.dtype)
     # bilinear: half-pixel-centred 2x resize (torch align_corners=False) + conv1x1
     n, h, w, c = x.shape
