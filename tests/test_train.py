@@ -312,3 +312,20 @@ def test_plateau_cooldown_with_improvement_matches_torch():
         np.testing.assert_allclose(ours.lr, optimizer.param_groups[0]["lr"],
                                    rtol=1e-10,
                                    err_msg=f"diverged at metric {metric}")
+
+
+def test_bf16_train_step():
+    """Mixed-precision (bf16 compute) training runs and produces finite grads."""
+    config, spec, rasters, positions, pair_idx, bounds, weights = _toy_setup(batch=4)
+    tx = build_optimizer("Adam", 0.0)
+    params, bn = init_unet(jax.random.PRNGKey(0), config)
+    state = init_train_state(params, bn, tx, 1e-3)
+    step = make_train_step(config, spec, tx, mesh=None,
+                           compute_dtype=jnp.bfloat16)
+    for _ in range(3):
+        state, metric = step(state, rasters, positions, pair_idx, bounds,
+                             weights, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metric))
+    # master weights stay f32
+    assert all(leaf.dtype == jnp.float32
+               for leaf in jax.tree_util.tree_leaves(state.params))
