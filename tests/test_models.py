@@ -263,3 +263,24 @@ def test_export_checkpoint_roundtrip(tmp_path, overrides):
                                jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
     np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2), torch_out,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_flagship_scale_parity_with_torch():
+    """Full flagship architecture (depth 5, start 64, cap 512) at 128 px:
+    the small-config parity tests don't exercise the 512-cap layers."""
+    import torch
+
+    config = junet.flagship_config("geom-stereo")
+    torch.manual_seed(0)
+    from tests.torch_unet import TorchUNet
+    model = TorchUNet(**_torch_kwargs(config)).eval()
+    sd = {k: np.array(v.detach().numpy()) for k, v in model.state_dict().items()}
+    params, state = torch_import.params_from_state_dict(sd, config)
+
+    x = np.random.default_rng(21).normal(size=(1, 3, 128, 128)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(x)).numpy()
+    ours, _ = junet.apply_unet(config, params, state,
+                               jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2), ref,
+                               rtol=2e-4, atol=2e-4)
