@@ -79,53 +79,17 @@ def bench_tpu(compute_dtype_name: str = "float32") -> float:
 
 
 def bench_torch_cpu() -> float:
+    """Reference-stack baseline: identical topology in PyTorch on the CPU.
+
+    Reuses the torch oracle the parity tests validate against
+    (tests/torch_unet.py — reference state_dict-compatible topology).
+    """
     import torch
 
-    torch.set_num_threads(max(1, torch.get_num_threads()))
+    from tests.torch_unet import TorchUNet
 
-    import torch.nn as nn
-
-    def conv_bn_act(cin, cout):
-        return nn.Sequential(nn.Conv2d(cin, cout, 3, padding=1, bias=False),
-                             nn.BatchNorm2d(cout), nn.ReLU())
-
-    class RefUNet(nn.Module):
-        """Reference topology (depth 5, start 64, cap 512, additive skips)."""
-
-        def __init__(self, cin=3, start=64, cap=512, depth=5):
-            super().__init__()
-            widths = [min(start * 2 ** i, cap) for i in range(depth)]
-            self.depth = depth
-            self.enc = nn.ModuleList()
-            prev = cin
-            for w in widths:
-                self.enc.append(conv_bn_act(prev, w))
-                prev = w
-            self.pool = nn.MaxPool2d(2, 2)
-            self.mid = conv_bn_act(widths[-1], widths[-1])
-            rev = widths[::-1]
-            self.up = nn.ModuleList(
-                nn.ConvTranspose2d(rev[i], rev[i], 2, stride=2)
-                for i in range(depth))
-            self.dec = nn.ModuleList(
-                conv_bn_act(rev[i], rev[i + 1]) for i in range(depth - 1))
-            self.last = nn.Conv2d(start, 1, 3, padding=1)
-
-        def forward(self, x):
-            skips = []
-            out = x
-            for enc in self.enc:
-                out = enc(out)
-                skips.append(out)
-                out = self.pool(out)
-            out = self.mid(out)
-            for i in range(self.depth):
-                out = skips[-1 - i] + self.up[i](out)
-                if i < self.depth - 1:
-                    out = self.dec[i](out)
-            return self.last(out) + x[:, 0:1]
-
-    model = RefUNet().eval()
+    model = TorchUNet(n_input_channels=3, start_kernel=64, max_filter_depth=512,
+                      depth=5).eval()
     x = torch.randn(1, 3, TILE, TILE)
     with torch.no_grad():
         model(x)  # warmup

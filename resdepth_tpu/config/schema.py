@@ -92,6 +92,11 @@ ALLOCATION_STRATEGIES = ["5-crossval_vertical", "5-crossval_horizontal", "entire
 COMPUTE_DTYPES = ["float32", "bfloat16"]
 
 
+def n_views(multiview_config: str) -> int:
+    """'3-view' -> 3 (shared parser for the multiview config string)."""
+    return int("".join(ch for ch in multiview_config if ch.isdigit()))
+
+
 def count_input_channels(input_channels: str, multiview_config: str = "3-view") -> int:
     """Number of network input channels for a channel mode.
 
@@ -104,6 +109,5 @@ def count_input_channels(input_channels: str, multiview_config: str = "3-view") 
     if input_channels == "geom-stereo":
         return 3
     if input_channels == "geom-multiview":
-        num_views = int("".join(ch for ch in multiview_config if ch.isdigit()))
-        return num_views + 1
+        return n_views(multiview_config) + 1
     raise ValueError(f"Unknown input channel configuration: {input_channels!r}")

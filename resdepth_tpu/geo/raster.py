@@ -9,6 +9,7 @@ geotransform applied at (cols, rows)).
 
 from __future__ import annotations
 
+import os as _os
 from dataclasses import dataclass
 
 import numpy as np
@@ -52,8 +53,6 @@ class Raster:
             "gsdX": gt[1], "gsdY": -gt[5],
         }
 
-
-import os as _os
 
 _OPEN_CACHE: dict = {}
 _OPEN_CACHE_MAX = 16

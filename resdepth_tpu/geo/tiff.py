@@ -69,6 +69,9 @@ _FIELD_TYPES = {
     12: ("d", 8),  # DOUBLE
 }
 
+# BigTIFF additions: 16 LONG8, 17 SLONG8, 18 IFD8
+_FIELD_TYPES_BIG = {**_FIELD_TYPES, 16: ("Q", 8), 17: ("q", 8), 18: ("Q", 8)}
+
 _SAMPLE_DTYPES = {
     # (sample_format, bits) -> numpy dtype char
     (1, 8): "u1", (1, 16): "u2", (1, 32): "u4",
@@ -303,8 +306,7 @@ def _read_ifd(f, offset: int, bo: str, big: bool = False):
     next_ifd = struct.unpack(bo + ("Q" if big else "I"),
                              f.read(8 if big else 4))[0]
     tags = {}
-    field_types = dict(_FIELD_TYPES)
-    field_types.update({16: ("Q", 8), 17: ("q", 8), 18: ("Q", 8)})
+    field_types = _FIELD_TYPES_BIG
     for k in range(n_entries):
         base = k * entry_size
         if big:
@@ -563,13 +565,10 @@ def write(path: str, data: np.ndarray, *, geotransform=None, nodata=None,
         ifd_offset = 8
         values_offset = ifd_offset + 2 + n * entry_size + 4
 
-    field_sizes = dict(_FIELD_TYPES)
-    field_sizes.update({16: ("Q", 8), 17: ("q", 8), 18: ("Q", 8)})
-
     def encode_value(ftype, values):
         if ftype == 2:
             return _encode_value(ftype, values, bo)
-        fmt, _ = field_sizes[ftype]
+        fmt, _ = _FIELD_TYPES_BIG[ftype]
         if not isinstance(values, (list, tuple)):
             values = [values]
         return struct.pack(bo + fmt * len(values), *values), len(values)

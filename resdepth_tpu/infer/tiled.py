@@ -23,6 +23,8 @@ bands — see ops/blend.py).
 
 from __future__ import annotations
 
+import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -45,9 +47,6 @@ def _pad_round_up(array, n, pad_value=0):
         return array
     pad_block = np.full((pad,) + array.shape[1:], pad_value, array.dtype)
     return np.concatenate([array, pad_block], axis=0)
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=32)
@@ -102,7 +101,6 @@ def _make_scene_fn(config: UNetConfig, spec: BatchSpec, shape, dsm_std,
 def _inference_spec(ds: TileDataset) -> BatchSpec:
     """Prediction needs no loss mask / target gather — strip them from the
     fused stage (the stitch uses blend weights, not exclusive bounds)."""
-    import dataclasses
     spec = batch_spec_for(ds, transform_dsm=True,
                           transform_orthos=ds.input_channels != "geom",
                           augment=False)
@@ -148,8 +146,6 @@ def predict_linear_blend(config: UNetConfig, params, bn_state, ds: TileDataset,
     pixels outside the covered region remain 0. ``fold_bn`` folds eval-mode
     BatchNorm into the conv weights (exact; saves elementwise HBM passes).
     """
-    import dataclasses
-
     if fold_bn and config.do_BN:
         from resdepth_tpu.models.unet import fold_batchnorm
         config, params, bn_state = fold_batchnorm(config, params, bn_state)

@@ -119,8 +119,9 @@ def init_unet(rng, config: UNetConfig):
     for width in widths:
         rng, sub = jax.random.split(rng)
         block = {"conv": _conv_init(sub, 3, 3, in_ch, width, use_bias)}
-        if _act_init(config.act_fn_encoder):
-            block["act"] = _act_init(config.act_fn_encoder)
+        act = _act_init(config.act_fn_encoder)
+        if act:
+            block["act"] = act
         if config.do_BN:
             block["bn"] = _bn_init(width)
             state["encoder"].append({"bn": _bn_state_init(width)})
@@ -131,8 +132,9 @@ def init_unet(rng, config: UNetConfig):
 
     rng, sub = jax.random.split(rng)
     params["bottleneck"] = {"conv": _conv_init(sub, 3, 3, widths[-1], widths[-1], use_bias)}
-    if _act_init(config.act_fn_bottleneck):
-        params["bottleneck"]["act"] = _act_init(config.act_fn_bottleneck)
+    act = _act_init(config.act_fn_bottleneck)
+    if act:
+        params["bottleneck"]["act"] = act
     if config.do_BN:
         params["bottleneck"]["bn"] = _bn_init(widths[-1])
         state["bottleneck"] = {"bn": _bn_state_init(widths[-1])}
@@ -144,8 +146,9 @@ def init_unet(rng, config: UNetConfig):
         rng, up_rng, conv_rng = jax.random.split(rng, 3)
         block = {"up": _up_init(up_rng, config.up_mode, widths_up[i], widths_up[i]),
                  "conv": _conv_init(conv_rng, 3, 3, widths_up[i], widths_up[i + 1], use_bias)}
-        if _act_init(config.act_fn_decoder):
-            block["act"] = _act_init(config.act_fn_decoder)
+        act = _act_init(config.act_fn_decoder)
+        if act:
+            block["act"] = act
         if config.do_BN:
             block["bn"] = _bn_init(widths_up[i + 1])
             state["decoder"].append({"bn": _bn_state_init(widths_up[i + 1])})

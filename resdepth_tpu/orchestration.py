@@ -10,7 +10,6 @@ reference's import-cycle hub topology.
 from __future__ import annotations
 
 import os
-import re
 from datetime import datetime
 
 from resdepth_tpu.config import schema
@@ -135,15 +134,11 @@ def prepare_dataset_configuration(cfg, phase: str):
 
 # ------------------------------- image pairs ------------------------------ #
 
-def _n_views_of(multiview_config: str) -> int:
-    return int(re.findall(r"\d+", multiview_config)[0])
-
-
 def _pairs_valid(input_channels, pairlist_path, image_pairs, multiview_config,
                  logger) -> bool:
     """Arity checks per channel mode (parity: lib/utils.py:782-826)."""
     if input_channels == "geom-multiview":
-        n_views = _n_views_of(multiview_config)
+        n_views = schema.n_views(multiview_config)
         if n_views != len(image_pairs[0]):
             logger.error(f"'geom-multiview' with '{multiview_config}' needs image "
                          f"pairs of {n_views} images, got {len(image_pairs[0])} "

@@ -48,14 +48,13 @@ def init_train_state(params, bn_state, tx, lr: float) -> TrainState:
                       step=jnp.asarray(0, jnp.int32))
 
 
-def _sharded(fn, mesh, axis_name, n_batch_args, n_state_out, batch_axis=0):
-    """shard_map wrapper: state/rasters replicated, batch axis sharded."""
+def _sharded(fn, mesh, axis_name, batch_axis=0):
+    """shard_map wrapper: replicated state/rasters, batch axis sharded,
+    replicated (state, metric) outputs — psums inside keep them consistent."""
     batch_spec = P(axis_name) if batch_axis == 0 else P(None, axis_name)
-    in_specs = (P(), P()) + (batch_spec,) * n_batch_args + (P(),)
-    out_specs = (P(),) * n_state_out
+    in_specs = (P(), P()) + (batch_spec,) * 4 + (P(),)
     return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
-                         out_specs=out_specs if n_state_out > 1 else P(),
-                         check_vma=False)
+                         out_specs=(P(), P()), check_vma=False)
 
 
 def make_train_step(config: UNetConfig, spec: BatchSpec, tx, mesh=None,
@@ -121,8 +120,8 @@ def make_train_step(config: UNetConfig, spec: BatchSpec, tx, mesh=None,
                                 (positions, pair_indices, bounds, weights))
 
     if mesh is not None:
-        step_fn = _sharded(step_fn, mesh, axis_name, n_batch_args=4,
-                           n_state_out=2, batch_axis=1 if steps_per_call > 1 else 0)
+        step_fn = _sharded(step_fn, mesh, axis_name,
+                           batch_axis=1 if steps_per_call > 1 else 0)
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from resdepth_tpu.train import checkpoint as ckpt_io
+from resdepth_tpu.utils import profiler
 from resdepth_tpu.train.metrics import AverageMeter, MetricsWriter
 from resdepth_tpu.train.step import TrainState
 from resdepth_tpu.utils import fs
@@ -229,7 +230,6 @@ class Trainer:
             self.logger.info("\n{}\n{}\n".format(header, "-" * len(header)))
 
             # Profile the first trained epoch when a trace directory is set.
-            from resdepth_tpu.utils import profiler
             with profiler.trace(self.profile_dir if epoch == self.start_epoch
                                 else None):
                 self.train_one_epoch(epoch)

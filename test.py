@@ -15,6 +15,7 @@ trips.
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import os
 import sys
@@ -27,6 +28,7 @@ from resdepth_tpu.config import io as cfg_io
 from resdepth_tpu.config import validate_infer
 from resdepth_tpu.data import control_files
 from resdepth_tpu.data.dataset import TileDataset
+from resdepth_tpu.data.pipeline import device_put_dataset
 from resdepth_tpu.evaluation import evaluate_performance, get_statistics, print_statistics
 from resdepth_tpu.geo import raster as raster_mod
 from resdepth_tpu.infer import predict_linear_blend, predict_linear_blend_streaming
@@ -173,14 +175,10 @@ def main() -> None:
                     max_device_pixels=MAX_DEVICE_PIXELS,
                     batch_size=batch_size, compute_dtype=compute_dtype)
             else:
-                import dataclasses
-
-                from resdepth_tpu.data.pipeline import device_put_dataset
-                import jax.numpy as jnp_mod
                 if device_rasters is None:
                     device_rasters = device_put_dataset(tile_ds)
                 pair_rasters = dataclasses.replace(
-                    device_rasters, pairs=jnp_mod.asarray(tile_ds.pairs_array))
+                    device_rasters, pairs=jnp.asarray(tile_ds.pairs_array))
                 prediction = predict_linear_blend(
                     model_config, params, bn_state, tile_ds,
                     batch_size=batch_size, compute_dtype=compute_dtype,
