@@ -135,7 +135,7 @@ def _predict_tiles(config, params, bn_state, rasters, positions, pair_idx,
 
 
 def predict_linear_blend(config: UNetConfig, params, bn_state, ds: TileDataset,
-                         *, batch_size: int = 32, mesh=None,
+                         *, batch_size: int = 64, mesh=None,
                          axis_name: str = "data", compute_dtype=jnp.float32,
                          rasters=None, use_pallas: bool | None = None,
                          fold_bn: bool = True) -> np.ndarray:
@@ -165,7 +165,7 @@ def predict_linear_blend(config: UNetConfig, params, bn_state, ds: TileDataset,
 def predict_linear_blend_streaming(config: UNetConfig, params, bn_state,
                                    ds: TileDataset, *,
                                    max_device_pixels: int = 1 << 28,
-                                   batch_size: int = 32, mesh=None,
+                                   batch_size: int = 64, mesh=None,
                                    axis_name: str = "data",
                                    compute_dtype=jnp.float32,
                                    use_pallas: bool | None = None,

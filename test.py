@@ -117,7 +117,7 @@ def main() -> None:
     import jax.numpy as jnp
     compute_dtype = (jnp.bfloat16 if cfg.general.get("compute_dtype") == "bfloat16"
                      else jnp.float32)
-    batch_size = cfg.general.get("batch_size", 32)
+    batch_size = cfg.general.get("batch_size", 64)
 
     # ------------------------------ inference ------------------------------ #
     logger.info("\n\nInference\n---------\n")
