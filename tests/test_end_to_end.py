@@ -270,3 +270,40 @@ def test_train_steps_per_call(make_geotiff, tmp_path, monkeypatch):
     _run_cli(train_cli.main, str(cfg_path), monkeypatch)
     run_dir = sorted((tmp_path / "runs_spc").iterdir())[0]
     assert (run_dir / "checkpoints" / "Model_best.npz").exists()
+
+
+def test_train_multiview(make_geotiff, tmp_path, monkeypatch):
+    """geom-multiview (3-view): multiview config section drives channel count."""
+    paths, _, _ = _write_scene(make_geotiff, tmp_path)
+    pairlist3 = tmp_path / "pairlist3.txt"
+    pairlist3.write_text("ortho_0, ortho_1, ortho_2\n")
+
+    cfg = {
+        "datasets": [{
+            "name": "synthetic", "raster_in": paths["raster_in"],
+            "raster_gt": paths["raster_gt"], "area_type": "train+val",
+            "allocation_strategy": "5-crossval_vertical", "test_stripe": 1,
+            "n_training_samples": 12,
+            "path_image_list": paths["imagelist"],
+            "path_pairlist_training": str(pairlist3),
+            "path_pairlist_validation": str(pairlist3)}],
+        "model": {"input_channels": "geom-multiview", "depth": 2,
+                  "start_kernel": 4, "max_filter_depth": 8},
+        "multiview": {"config": "3-view"},
+        "training_settings": {"tile_size": 16, "batch_size": 4, "n_epochs": 1,
+                              "augment": False, "loss": "L1"},
+        "optimizer": {"name": "Adam", "learning_rate": 0.001},
+        "scheduler": {"enabled": False},
+        "general": {"evaluate_rate": 1, "random_seed": 0},
+        "output": {"output_directory": str(tmp_path / "runs_mv")},
+    }
+    cfg_path = tmp_path / "mv.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    import train as train_cli
+    _run_cli(train_cli.main, str(cfg_path), monkeypatch)
+
+    run_dir = sorted((tmp_path / "runs_mv").iterdir())[0]
+    model_cfg = cfg_io.read_json(str(run_dir / "model_config.json"))
+    assert model_cfg.settings.n_input_channels == 4  # DSM + 3 views
+    assert (run_dir / "checkpoints" / "Model_best.npz").exists()

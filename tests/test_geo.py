@@ -366,3 +366,25 @@ def test_bigtiff_interop_with_pillow(tmp_path):
     tiff.write(path, data, compress="none", bigtiff=True)
     with PIL_Image.open(path) as img:
         np.testing.assert_array_equal(np.asarray(img), data)
+
+
+def test_tiff_rejects_malformed(tmp_path):
+    """Truncated or corrupt files fail fast with clear errors, never hang."""
+    not_tiff = tmp_path / "not.tif"
+    not_tiff.write_bytes(b"PNG garbage here")
+    with pytest.raises(ValueError, match="Not a TIFF"):
+        tiff.read(str(not_tiff))
+
+    bad_magic = tmp_path / "magic.tif"
+    bad_magic.write_bytes(b"II\x2a\x01" + b"\x00" * 16)
+    with pytest.raises(ValueError, match="Unsupported TIFF magic"):
+        tiff.read(str(bad_magic))
+
+    # Valid file truncated mid-data: read raises (struct/decompress error)
+    good = tmp_path / "good.tif"
+    tiff.write(str(good), np.ones((20, 20), np.float32), compress="deflate")
+    payload = good.read_bytes()
+    truncated = tmp_path / "trunc.tif"
+    truncated.write_bytes(payload[: len(payload) // 2])
+    with pytest.raises(Exception):
+        tiff.read(str(truncated))
