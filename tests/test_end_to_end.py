@@ -307,3 +307,55 @@ def test_train_multiview(make_geotiff, tmp_path, monkeypatch):
     model_cfg = cfg_io.read_json(str(run_dir / "model_config.json"))
     assert model_cfg.settings.n_input_channels == 4  # DSM + 3 views
     assert (run_dir / "checkpoints" / "Model_best.npz").exists()
+
+
+def test_crossval_train_then_eval_val_area(make_geotiff, tmp_path, monkeypatch):
+    """crossval_training=True: 4 training stripes + val stripe, no test area;
+    inference then evaluates over the validation stripe (README workflow)."""
+    paths, dsm, gt = _write_scene(make_geotiff, tmp_path)
+
+    train_cfg = {
+        "datasets": [{
+            "name": "cv", "raster_in": paths["raster_in"],
+            "raster_gt": paths["raster_gt"], "area_type": "train+val",
+            "allocation_strategy": "5-crossval_vertical", "test_stripe": 2,
+            "crossval_training": True, "n_training_samples": 16}],
+        "model": {"input_channels": "geom", "depth": 2, "start_kernel": 4,
+                  "max_filter_depth": 8},
+        "training_settings": {"tile_size": 16, "batch_size": 4, "n_epochs": 1,
+                              "augment": False, "loss": "L1"},
+        "optimizer": {"name": "Adam", "learning_rate": 0.001},
+        "scheduler": {"enabled": False},
+        "general": {"evaluate_rate": 1, "random_seed": 0},
+        "output": {"output_directory": str(tmp_path / "runs_cv")},
+    }
+    cfg_path = tmp_path / "cv.json"
+    cfg_path.write_text(json.dumps(train_cfg))
+    import train as train_cli
+    _run_cli(train_cli.main, str(cfg_path), monkeypatch)
+    run_dir = sorted((tmp_path / "runs_cv").iterdir())[0]
+
+    eval_cfg = {
+        "datasets": [{
+            "name": "cv", "raster_in": paths["raster_in"],
+            "raster_gt": paths["raster_gt"],
+            "allocation_strategy": "5-crossval_vertical", "test_stripe": 2,
+            "crossval_training": True, "area_type": "val"}],
+        "model": {
+            "weights": str(run_dir / "checkpoints" / "Model_best.npz"),
+            "architecture": str(run_dir / "model_config.json"),
+            "normalization_geom": str(run_dir / "DSM_normalization_parameters.p")},
+        "general": {"tile_size": 16, "batch_size": 4},
+        "output": {"directory": str(tmp_path / "eval_cv")},
+    }
+    eval_path = tmp_path / "cv_eval.json"
+    eval_path.write_text(json.dumps(eval_cfg))
+    import test as test_cli
+    _run_cli(test_cli.main, str(eval_path), monkeypatch)
+
+    preds = list((tmp_path / "eval_cv" / "cv").glob("dsm_prediction_val_area*.tif"))
+    assert preds
+    pred = raster_mod.open_raster(str(preds[0]))
+    # crossval val stripe == the chosen stripe (index 2): cols 40..59 of 100
+    assert pred.cols == 20
+    assert pred.geotransform[0] == pytest.approx(1000.0 + 40 * 0.25)
