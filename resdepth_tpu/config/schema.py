@@ -73,7 +73,8 @@ DATASET_KEYS_OPTIONAL_eval = [
     "test_stripe", "area_type", "crossval_training",
 ]
 MODEL_KEYS_eval = ["weights", "architecture", "normalization_geom", "normalization_image"]
-GENERAL_KEYS_eval = ["tile_size", "workers", "batch_size", "compute_dtype"]
+GENERAL_KEYS_eval = ["tile_size", "workers", "batch_size", "compute_dtype",
+                     "use_pallas"]
 OUTPUT_KEYS_eval = ["directory"]
 
 # ------------------------------ Valid values ---------------------------- #

@@ -118,6 +118,7 @@ def main() -> None:
     compute_dtype = (jnp.bfloat16 if cfg.general.get("compute_dtype") == "bfloat16"
                      else jnp.float32)
     batch_size = cfg.general.get("batch_size", 64)
+    use_pallas = cfg.general.get("use_pallas")  # None = auto by platform
 
     # ------------------------------ inference ------------------------------ #
     logger.info("\n\nInference\n---------\n")
@@ -173,7 +174,8 @@ def main() -> None:
                 prediction = predict_linear_blend_streaming(
                     model_config, params, bn_state, tile_ds,
                     max_device_pixels=MAX_DEVICE_PIXELS,
-                    batch_size=batch_size, compute_dtype=compute_dtype)
+                    batch_size=batch_size, compute_dtype=compute_dtype,
+                    use_pallas=use_pallas)
             else:
                 if device_rasters is None:
                     device_rasters = device_put_dataset(tile_ds)
@@ -182,7 +184,7 @@ def main() -> None:
                 prediction = predict_linear_blend(
                     model_config, params, bn_state, tile_ds,
                     batch_size=batch_size, compute_dtype=compute_dtype,
-                    rasters=pair_rasters)
+                    rasters=pair_rasters, use_pallas=use_pallas)
 
             area_defn = dataset.area_defn
             if dataset.get("raster_gt"):

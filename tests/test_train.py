@@ -329,3 +329,15 @@ def test_bf16_train_step():
     # master weights stay f32
     assert all(leaf.dtype == jnp.float32
                for leaf in jax.tree_util.tree_leaves(state.params))
+
+
+def test_profiler_trace_writes_files(tmp_path):
+    from resdepth_tpu.utils import profiler
+
+    with profiler.trace(str(tmp_path / "trace")):
+        _ = jnp.ones((8, 8)).sum().block_until_ready()
+    import glob
+    assert glob.glob(str(tmp_path / "trace" / "**" / "*"), recursive=True)
+    # disabled mode is a no-op
+    with profiler.trace(None):
+        pass
