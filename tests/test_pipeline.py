@@ -300,3 +300,29 @@ def test_batch_iterator_pads_with_distinct_samples(make_geotiff):
     # padded rows must be distinct real samples, not duplicates of row 0
     rows = {tuple(p) for p in positions}
     assert len(rows) == 5
+
+
+def test_pallas_fused_stitch_matches_xla_interpret():
+    from resdepth_tpu.ops.pallas_stitch import (crop_scene, pad_scene,
+                                                stitch_tiles_pallas_fused,
+                                                stitch_tiles_xla)
+    rng = np.random.default_rng(3)
+    rows, cols, t, b = 64, 80, 16, 6
+    scene = rng.normal(size=(rows, cols)).astype(np.float32)
+    tiles = rng.normal(size=(b, t, t)).astype(np.float32)
+    positions = np.stack([rng.integers(0, rows - t, b),
+                          rng.integers(0, cols - t, b)], 1).astype(np.int32)
+    positions[2] = positions[1]  # overlap must accumulate in order
+    wy = rng.random((b, t)).astype(np.float32)
+    wx = rng.random((b, t)).astype(np.float32)
+    means = rng.normal(size=b).astype(np.float32)
+
+    ref = stitch_tiles_xla(jnp.asarray(scene), jnp.asarray(tiles),
+                           jnp.asarray(positions), jnp.asarray(wy),
+                           jnp.asarray(wx), jnp.asarray(means), 3.0)
+    out = crop_scene(stitch_tiles_pallas_fused(
+        pad_scene(jnp.asarray(scene)), jnp.asarray(tiles),
+        jnp.asarray(positions), jnp.asarray(wy), jnp.asarray(wx),
+        jnp.asarray(means), 3.0, interpret=True))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
