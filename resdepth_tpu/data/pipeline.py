@@ -148,31 +148,28 @@ def _bounds_mask(bounds, tile):
     return jax.vmap(one)(bounds)
 
 
-def _rot90_k(x, k):
-    """rot90 by per-sample k in {0..3}; x: (H, W, C) single sample."""
-    return jax.lax.switch(k, [
-        lambda a: a,
-        lambda a: jnp.rot90(a, 1, axes=(0, 1)),
-        lambda a: jnp.rot90(a, 2, axes=(0, 1)),
-        lambda a: jnp.rot90(a, 3, axes=(0, 1)),
-    ], x)
-
-
 def _augment(stacked, rng):
-    """Random rot90 + flips per sample; ``stacked``: (B, H, W, C).
+    """Uniform random dihedral transform per sample; ``stacked``: (B, H, W, C).
 
-    Order matches the reference compose (Rotate, VFlip, HFlip) with fresh
-    randomness per sample (lib/DsmOrthoDataset.py:262-276,
-    lib/torch_transforms.py:20-22).
+    The reference composes rot90^k (k uniform in 0..3) with independent p=0.5
+    vertical and horizontal flips (lib/DsmOrthoDataset.py:262-276,
+    lib/torch_transforms.py:20-22) — that composition is exactly the UNIFORM
+    distribution over the square's 8 symmetries (each dihedral element is hit
+    by 2 of the 16 (k, v, h) combinations). The dihedral group factors as
+    (transpose?) ∘ (flip rows?) ∘ (flip cols?) with three independent fair
+    bits, which lowers to three batched selects — a per-sample rot90 switch
+    would instead make XLA execute every rotation branch for the whole batch
+    (vmapped ``switch`` runs all branches) plus per-sample transposes.
+    Requires square tiles (always true: tiles are tile_size x tile_size).
     """
     b = stacked.shape[0]
-    k_rng, v_rng, h_rng = jax.random.split(rng, 3)
-    ks = jax.random.randint(k_rng, (b,), 0, 4)
-    stacked = jax.vmap(_rot90_k)(stacked, ks)
-    vflip = jax.random.bernoulli(v_rng, 0.5, (b,))
-    stacked = jnp.where(vflip[:, None, None, None], stacked[:, ::-1, :, :], stacked)
-    hflip = jax.random.bernoulli(h_rng, 0.5, (b,))
-    stacked = jnp.where(hflip[:, None, None, None], stacked[:, :, ::-1, :], stacked)
+    t_rng, r_rng, c_rng = jax.random.split(rng, 3)
+    transpose = jax.random.bernoulli(t_rng, 0.5, (b,))[:, None, None, None]
+    flip_rows = jax.random.bernoulli(r_rng, 0.5, (b,))[:, None, None, None]
+    flip_cols = jax.random.bernoulli(c_rng, 0.5, (b,))[:, None, None, None]
+    stacked = jnp.where(transpose, jnp.swapaxes(stacked, 1, 2), stacked)
+    stacked = jnp.where(flip_rows, stacked[:, ::-1, :, :], stacked)
+    stacked = jnp.where(flip_cols, stacked[:, :, ::-1, :], stacked)
     return stacked
 
 

@@ -326,3 +326,18 @@ def test_pallas_fused_stitch_matches_xla_interpret():
         jnp.asarray(means), 3.0, interpret=True))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_augmentation_uniform_over_dihedral_group():
+    """The augment distribution equals the reference's: uniform over the
+    square's 8 symmetries (rot90^k x flips composition)."""
+    from collections import Counter
+    from resdepth_tpu.data.pipeline import _augment
+
+    x = jnp.arange(4.0).reshape(1, 2, 2, 1)
+    counts = Counter()
+    for i in range(800):
+        out = np.asarray(_augment(x, jax.random.PRNGKey(i)))[0, :, :, 0]
+        counts[tuple(out.ravel().tolist())] += 1
+    assert len(counts) == 8
+    assert min(counts.values()) / 800 > 0.07
