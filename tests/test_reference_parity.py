@@ -1,0 +1,172 @@
+"""Parity against the ACTUAL reference implementation (/root/reference).
+
+The other model tests compare against tests/torch_unet.py, an independent
+torch re-implementation written from SURVEY.md. These tests close the
+self-oracle loophole: they import the real /root/reference/lib/UNet.py,
+push its state_dict through the checkpoint importer, and assert eval-mode
+output agreement — so a shared misreading of the reference architecture
+cannot pass silently.
+
+Skipped automatically when /root/reference is not present.
+"""
+
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from resdepth_tpu.models import torch_import
+from resdepth_tpu.models import unet as junet
+
+REFERENCE_UNET = "/root/reference/lib/UNet.py"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REFERENCE_UNET),
+    reason="reference implementation not available")
+
+
+def _load_reference_unet():
+    """Import lib/UNet.py directly from its file (it only needs torch.nn),
+    without putting the generic package name 'lib' on sys.path."""
+    spec = importlib.util.spec_from_file_location("reference_unet",
+                                                  REFERENCE_UNET)
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+    return module.UNet
+
+
+def _reference_kwargs(config):
+    return dict(
+        n_input_channels=config.n_input_channels,
+        start_kernel=config.start_kernel,
+        max_filter_depth=config.max_filter_depth, depth=config.depth,
+        act_fn_encoder=config.act_fn_encoder,
+        act_fn_decoder=config.act_fn_decoder,
+        act_fn_bottleneck=config.act_fn_bottleneck, up_mode=config.up_mode,
+        do_BN=config.do_BN, bias_conv_layer=config.bias_conv_layer,
+        outer_skip=config.outer_skip, outer_skip_BN=config.outer_skip_BN)
+
+
+def _small_config(**overrides):
+    kwargs = dict(n_input_channels=3, start_kernel=8, max_filter_depth=32,
+                  depth=3)
+    kwargs.update(overrides)
+    return junet.UNetConfig(**kwargs)
+
+
+def _reference_model(config, seed=0):
+    import torch
+
+    UNet = _load_reference_unet()
+    torch.manual_seed(seed)
+    model = UNet(**_reference_kwargs(config))
+
+    # Populate BN running statistics before eval-mode comparison.
+    model.train()
+    with torch.no_grad():
+        for _ in range(2):
+            model(torch.randn(2, config.n_input_channels, 32, 32))
+    model.eval()
+    return model
+
+
+CONFIG_MATRIX = [
+    dict(),
+    dict(up_mode="bilinear"),
+    dict(act_fn_encoder="lrelu", act_fn_decoder="prelu",
+         act_fn_bottleneck="lrelu"),
+    dict(do_BN=False, bias_conv_layer=True),
+    dict(outer_skip_BN=True),
+    dict(outer_skip=False),
+]
+
+
+@pytest.mark.parametrize("overrides", CONFIG_MATRIX)
+def test_jax_matches_reference_eval_output(overrides):
+    """state_dict(reference UNet) -> importer -> apply_unet == reference."""
+    import torch
+
+    config = _small_config(**overrides)
+    model = _reference_model(config)
+
+    sd = {k: np.array(v.detach().numpy()) for k, v in model.state_dict().items()}
+    params, state = torch_import.params_from_state_dict(sd, config)
+
+    x = np.random.default_rng(7).normal(
+        size=(2, config.n_input_channels, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(x)).numpy()
+
+    ours, _ = junet.apply_unet(config, params, state,
+                               jnp.asarray(x.transpose(0, 2, 3, 1)),
+                               train=False)
+    ours = np.asarray(ours).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-5)
+
+
+@pytest.mark.parametrize("overrides", CONFIG_MATRIX)
+def test_oracle_loads_reference_state_dict_verbatim(overrides):
+    """tests/torch_unet.TorchUNet accepts a real reference state_dict
+    (strict key/shape match) and reproduces its outputs bit-exactly — the
+    self-written oracle is therefore structurally identical to the
+    reference, validating every test that uses it."""
+    import torch
+
+    from tests.torch_unet import TorchUNet
+
+    config = _small_config(**overrides)
+    model = _reference_model(config)
+
+    oracle = TorchUNet(**_reference_kwargs(config))
+    oracle.load_state_dict(model.state_dict(), strict=True)
+    oracle.eval()
+
+    x = torch.from_numpy(np.random.default_rng(3).normal(
+        size=(2, config.n_input_channels, 32, 32)).astype(np.float32))
+    with torch.no_grad():
+        np.testing.assert_array_equal(oracle(x).numpy(), model(x).numpy())
+
+
+def test_export_loads_into_reference_model():
+    """state_dict_from_params output round-trips into the real reference
+    UNet (strict), so exported checkpoints are directly usable with the
+    reference code (models/torch_import.py:117-167)."""
+    import jax
+    import torch
+
+    config = _small_config()
+    params, state = junet.init_unet(jax.random.PRNGKey(0), config)
+    sd = torch_import.state_dict_from_params(params, state, config)
+
+    UNet = _load_reference_unet()
+    model = UNet(**_reference_kwargs(config))
+    model.load_state_dict({k: torch.as_tensor(np.array(v))
+                           for k, v in sd.items()}, strict=True)
+    model.eval()
+
+    x = np.random.default_rng(5).normal(
+        size=(2, config.n_input_channels, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(x)).numpy()
+    ours, _ = junet.apply_unet(config, params, state,
+                               jnp.asarray(x.transpose(0, 2, 3, 1)),
+                               train=False)
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2), ref,
+                               rtol=0, atol=1e-5)
+
+
+def test_flagship_state_dict_layout_matches_reference():
+    """Key names and tensor shapes agree at full flagship scale (depth 5,
+    start 64, cap 512 — the 512-cap layers exercise lib/UNet.py:152-155)."""
+    config = junet.flagship_config("geom-stereo")
+    model = _reference_model(config)
+
+    import jax
+    params, state = junet.init_unet(jax.random.PRNGKey(0), config)
+    sd_ours = torch_import.state_dict_from_params(params, state, config)
+    sd_ref = {k: tuple(v.shape) for k, v in model.state_dict().items()}
+
+    assert {k: tuple(np.shape(v)) for k, v in sd_ours.items()} == sd_ref
