@@ -70,7 +70,7 @@ def default_cfg() -> AttrDict:
     cfg.general = AttrDict(
         allocation_strategy="5-crossval_vertical",
         test_stripe=0,
-        workers=4,
+        workers=4,  # vestigial: accepted for reference-config compatibility, unused (no host DataLoader worker pool exists)
         random_seed=0,
         save_model_rate=20,
         evaluate_rate=1,

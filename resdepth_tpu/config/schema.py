@@ -53,7 +53,8 @@ GENERAL_KEYS = [
 OUTPUT_KEYS = ["output_directory", "tboard_log_dir", "suffix", "plot_model_txt"]
 
 TPU_KEYS = [
-    "compute_dtype",        # 'float32' | 'bfloat16' — model compute precision
+    "compute_dtype",        # 'float32' | 'bfloat16' | 'mixed' — model compute precision
+                            # ('mixed': bf16 conv stack, f32 height path)
     "data_parallel",        # bool — shard batches over the device mesh
     "mesh_axis",            # name of the data-parallel mesh axis
     "use_pallas",           # bool — enable fused Pallas kernels where available
@@ -90,7 +91,7 @@ ARCHITECTURES = ["UNet"]
 ACTIVATION_FUNCTIONS = ["relu", "lrelu", "prelu"]
 UPSAMPLING_MODES = ["transpose", "bilinear"]
 ALLOCATION_STRATEGIES = ["5-crossval_vertical", "5-crossval_horizontal", "entire"]
-COMPUTE_DTYPES = ["float32", "bfloat16"]
+COMPUTE_DTYPES = ["float32", "bfloat16", "mixed"]
 
 
 def n_views(multiview_config: str) -> int:

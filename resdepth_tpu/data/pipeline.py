@@ -258,18 +258,28 @@ class BatchIndexIterator:
     """Host-side epoch iterator over sample indices with static batch shapes.
 
     Yields ``(positions, pair_indices, bounds, weights)`` numpy arrays of a
-    FIXED batch size: the final partial batch is padded with DISTINCT
-    earlier samples of the epoch at weight 0, so jit never recompiles,
-    padded samples never contribute to loss or metrics, and training-mode
-    BatchNorm batch statistics stay computed over distinct real samples
-    (duplicate padding would bias them). The reference's DataLoader instead
-    emits a ragged final batch — lib/utils.py:269.
+    FIXED emitted batch size: the final partial batch — and, when
+    ``emit_size > batch_size``, every batch — is padded with wrap-around
+    samples at weight 0, so jit never recompiles. Padded samples contribute
+    NOTHING downstream: loss, gradients, metrics, and training-mode
+    BatchNorm statistics are all weighted by the 0/1 sample weights
+    (models/unet.py::_batch_norm). The reference's DataLoader instead emits
+    a ragged final batch — lib/utils.py:269.
+
+    ``emit_size`` exists to fill the device mesh regardless of the configured
+    batch size: e.g. the reference-default batch 20 on an 8-chip slice emits
+    24-sample batches (20 real + 4 zero-weight) so all 8 chips are used while
+    the optimisation trajectory stays numerically that of batch 20.
     """
 
     def __init__(self, ds: TileDataset, batch_size: int, shuffle: bool,
-                 seed: int = 0, drop_last: bool = False):
+                 seed: int = 0, drop_last: bool = False,
+                 emit_size: int | None = None):
         self.ds = ds
         self.batch_size = batch_size
+        self.emit_size = batch_size if emit_size is None else int(emit_size)
+        if self.emit_size < batch_size:
+            raise ValueError(f"emit_size {self.emit_size} < batch_size {batch_size}")
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.rng = np.random.default_rng(seed)
@@ -286,23 +296,24 @@ class BatchIndexIterator:
         order = self.rng.permutation(n) if self.shuffle else np.arange(n)
         self.epoch += 1
         bs = self.batch_size
+        emit = self.emit_size
         bounds_all = self.ds.valid_bounds
         for start in range(0, n, bs):
             idx = order[start:start + bs]
-            if len(idx) < bs:
-                if self.drop_last:
-                    return
-                n_pad = bs - len(idx)
-                # wrap-around: earlier samples of this epoch's order (distinct
-                # from the tail when n >= batch size)
-                pad = np.resize(order[:max(start, 1)], n_pad)
+            if len(idx) < bs and self.drop_last:
+                return
+            if len(idx) < emit:
+                n_pad = emit - len(idx)
+                # wrap-around padding at weight 0 (values are irrelevant —
+                # they are excluded from loss, grads and BN statistics).
+                pad = np.resize(order[:max(start, 1)] if start else idx, n_pad)
                 weights = np.concatenate([np.ones(len(idx), np.float32),
                                           np.zeros(n_pad, np.float32)])
                 idx = np.concatenate([idx, pad])
             else:
-                weights = np.ones(bs, np.float32)
+                weights = np.ones(emit, np.float32)
             positions = self.ds.positions[idx]
             pair_indices = self.ds.pair_indices[idx]
             bounds = (bounds_all[idx] if bounds_all is not None
-                      else np.zeros((bs, 4), np.int32))
+                      else np.zeros((emit, 4), np.int32))
             yield positions, pair_indices, bounds, weights

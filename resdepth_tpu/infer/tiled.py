@@ -65,8 +65,12 @@ def _make_scene_fn(config: UNetConfig, spec: BatchSpec, shape, dsm_std,
         def body(carry, xs):
             pos, pair, wy, wx = xs
             batch = build_batch(rasters, pos, pair, zeros_bounds, key, spec)
-            x = batch["input"].astype(compute_dtype)
-            pred, _ = apply_unet(config, params, bn_state, x, train=False)
+            if compute_dtype == "mixed":
+                pred, _ = apply_unet(config, params, bn_state, batch["input"],
+                                     train=False, mixed_precision=True)
+            else:
+                x = batch["input"].astype(compute_dtype)
+                pred, _ = apply_unet(config, params, bn_state, x, train=False)
             pred = pred[..., 0].astype(jnp.float32)
             # Denormalisation + blend weighting + overlap-add fuse into the
             # stitch op (Pallas kernel on TPU, scatter-add elsewhere). The

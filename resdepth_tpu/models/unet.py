@@ -231,24 +231,46 @@ def _conv(x, layer, padding):
     return out
 
 
-def _batch_norm(x, bn_params, bn_state, train, axis_name):
+def _batch_norm(x, bn_params, bn_state, train, axis_name, sample_weights=None):
     """BatchNorm2d with torch semantics (eps 1e-5, momentum 0.1).
 
     In training, statistics are computed over (N, H, W) — cross-replica when
     ``axis_name`` is set — normalisation uses the biased variance, and running
     stats are updated with the unbiased variance (torch behaviour).
+
+    ``sample_weights`` (shape (N,), typically 0/1) makes the batch statistics
+    a weighted moment over samples: zero-weight padding samples (used to keep
+    batch shapes static and to fill the device mesh regardless of the
+    configured batch size) then contribute NOTHING to the statistics, so a
+    padded batch is numerically equivalent to the unpadded one.
     """
     x32 = x.astype(jnp.float32)
     if train:
-        mean = jnp.mean(x32, axis=(0, 1, 2))
-        mean_sq = jnp.mean(jnp.square(x32), axis=(0, 1, 2))
-        count = x32.shape[0] * x32.shape[1] * x32.shape[2]
-        if axis_name is not None:
-            mean = jax.lax.pmean(mean, axis_name)
-            mean_sq = jax.lax.pmean(mean_sq, axis_name)
-            count = count * jax.lax.psum(1, axis_name)
+        if sample_weights is None:
+            mean = jnp.mean(x32, axis=(0, 1, 2))
+            mean_sq = jnp.mean(jnp.square(x32), axis=(0, 1, 2))
+            count = x32.shape[0] * x32.shape[1] * x32.shape[2]
+            if axis_name is not None:
+                mean = jax.lax.pmean(mean, axis_name)
+                mean_sq = jax.lax.pmean(mean_sq, axis_name)
+                count = count * jax.lax.psum(1, axis_name)
+            count = jnp.asarray(count, jnp.float32)
+        else:
+            w = sample_weights.astype(jnp.float32)
+            count = w.sum() * (x32.shape[1] * x32.shape[2])
+            if axis_name is not None:
+                count = jax.lax.psum(count, axis_name)
+            count = jnp.maximum(count, 1.0)
+            # Normalise weights first so the reduction accumulates O(1/N)
+            # terms (same conditioning as jnp.mean).
+            wn = (w / count)[:, None, None, None]
+            mean = (x32 * wn).sum(axis=(0, 1, 2))
+            mean_sq = (jnp.square(x32) * wn).sum(axis=(0, 1, 2))
+            if axis_name is not None:
+                mean = jax.lax.psum(mean, axis_name)
+                mean_sq = jax.lax.psum(mean_sq, axis_name)
         var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
-        unbiased = var * (count / max(count - 1, 1))
+        unbiased = var * (count / jnp.maximum(count - 1, 1))
         new_state = {
             "mean": (1 - BN_MOMENTUM) * bn_state["mean"] + BN_MOMENTUM * mean,
             "var": (1 - BN_MOMENTUM) * bn_state["var"] + BN_MOMENTUM * unbiased,
@@ -262,12 +284,14 @@ def _batch_norm(x, bn_params, bn_state, train, axis_name):
     return out.astype(x.dtype), new_state
 
 
-def _conv_block(x, block, block_state, act_fn, do_bn, train, axis_name):
+def _conv_block(x, block, block_state, act_fn, do_bn, train, axis_name,
+                sample_weights=None):
     """conv3x3 (+BN) + activation (lib/UNet.py:36-52)."""
     out = _conv(x, block["conv"], ((1, 1), (1, 1)))
     new_state = block_state
     if do_bn:
-        out, new_bn = _batch_norm(out, block["bn"], block_state["bn"], train, axis_name)
+        out, new_bn = _batch_norm(out, block["bn"], block_state["bn"], train,
+                                  axis_name, sample_weights)
         new_state = {"bn": new_bn}
     else:
         out = out.astype(x.dtype)
@@ -308,26 +332,37 @@ def _upconv(x, up_params, up_mode):
 
 
 def apply_unet(config: UNetConfig, params, state, x, *, train: bool = False,
-               axis_name: str | None = None):
+               axis_name: str | None = None, sample_weights=None,
+               mixed_precision: bool = False):
     """Forward pass. ``x``: (N, H, W, C) with the initial DSM as channel 0.
 
     Returns ``(y, new_state)`` where ``y`` is (N, H, W, 1) and ``new_state``
     carries updated BatchNorm running statistics (identical to ``state`` when
-    ``train=False``).
+    ``train=False``). ``sample_weights`` (per-sample, typically 0/1) excludes
+    zero-weight padding samples from training-mode BatchNorm statistics.
+
+    ``mixed_precision`` (serving mode): the conv stack runs in bfloat16 but
+    the ABSOLUTE height path stays float32 — the last conv and the outer
+    residual skip (which adds the input DSM, lib/UNet.py:229-244) use the
+    original f32 ``x``. Rationale: bf16's ~0.4% relative rounding on the
+    outer-skip DSM channel (±2σ ≈ ±10 m after normalisation) alone costs
+    O(cm) of output height; the UNet-computed *correction* is small, so
+    bf16 error there is sub-mm. Requires f32 input ``x``.
     """
     new_state: dict = {"encoder": [], "decoder": []}
     skips = []
-    out = x
+    out = x.astype(jnp.bfloat16) if mixed_precision else x
 
     for block, block_state in zip(params["encoder"], state["encoder"]):
         out, ns = _conv_block(out, block, block_state, config.act_fn_encoder,
-                              config.do_BN, train, axis_name)
+                              config.do_BN, train, axis_name, sample_weights)
         skips.append(out)
         out = _max_pool_2x2(out)
         new_state["encoder"].append(ns)
 
     out, ns = _conv_block(out, params["bottleneck"], state["bottleneck"],
-                          config.act_fn_bottleneck, config.do_BN, train, axis_name)
+                          config.act_fn_bottleneck, config.do_BN, train,
+                          axis_name, sample_weights)
     new_state["bottleneck"] = ns
 
     n_decoder = len(params["decoder"])
@@ -336,18 +371,22 @@ def apply_unet(config: UNetConfig, params, state, x, *, train: bool = False,
         out = skips[-1 - i] + up  # additive skip (lib/UNet.py:96-101)
         if i < n_decoder - 1:
             out, ns = _conv_block(out, block, block_state, config.act_fn_decoder,
-                                  config.do_BN, train, axis_name)
+                                  config.do_BN, train, axis_name, sample_weights)
         else:
             ns = block_state  # deepest decoder level: no conv after the add
         new_state["decoder"].append(ns)
 
-    out = _conv(out, params["last"], ((1, 1), (1, 1))).astype(x.dtype)
+    if mixed_precision:
+        out = out.astype(jnp.float32)  # last conv + skip in f32 (see above)
+    out = _conv(out, params["last"], ((1, 1), (1, 1))).astype(
+        jnp.float32 if mixed_precision else x.dtype)
 
     if config.outer_skip:
         x0 = x[..., 0:1]
         if config.outer_skip_BN:
             x0, ns = _batch_norm(x0, params["outer_skip_bn"],
-                                 state["outer_skip_bn"]["bn"], train, axis_name)
+                                 state["outer_skip_bn"]["bn"], train, axis_name,
+                                 sample_weights)
             new_state["outer_skip_bn"] = {"bn": ns}
         out = out + x0
 

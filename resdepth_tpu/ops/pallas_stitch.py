@@ -106,7 +106,7 @@ def stitch_tiles_pallas(scene_padded, tiles, positions, wy, wx, means, sigma,
         num_scalar_prefetch=1,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),                # scene (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),                # scene (HBM)
             pl.BlockSpec((1, tile, tile), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),               # tiles
             # (B, T) weight tables stay whole in VMEM (tiny); per-tile rows
@@ -117,7 +117,7 @@ def stitch_tiles_pallas(scene_padded, tiles, positions, wy, wx, means, sigma,
             pl.BlockSpec(memory_space=pltpu.SMEM),               # means
             pl.BlockSpec(memory_space=pltpu.SMEM),               # sigma
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((tile + _SUBLANE, tile + _LANE), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
@@ -201,14 +201,14 @@ def stitch_tiles_pallas_fused(scene_padded, tiles, positions, wy, wx, means,
         num_scalar_prefetch=1,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),     # scene (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),     # tiles (HBM, DMA'd)
+            pl.BlockSpec(memory_space=pl.ANY),     # scene (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),     # tiles (HBM, DMA'd)
             pl.BlockSpec(memory_space=pltpu.VMEM),    # wy (B, T)
             pl.BlockSpec(memory_space=pltpu.VMEM),    # wx (B, T)
             pl.BlockSpec(memory_space=pltpu.SMEM),    # means (B,)
             pl.BlockSpec(memory_space=pltpu.SMEM),    # sigma (1,)
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, tile, tile), jnp.float32),
             pltpu.VMEM((tile + _SUBLANE, tile + _LANE), jnp.float32),

@@ -109,6 +109,16 @@ def build_scheduler(cfg_scheduler, initial_lr):
         return None
     name = cfg_scheduler.get("name", "StepLR")
     settings = dict(cfg_scheduler.get("settings", {}))
+    # The reference crashes with a raw TypeError when required scheduler
+    # settings are absent (default config: StepLR with empty settings —
+    # lib/config.py:110-114 + lib/utils.py:362); fail with a clear message
+    # instead.
+    if name == "StepLR" and "step_size" not in settings:
+        raise ValueError("scheduler 'StepLR' requires scheduler.settings."
+                         "step_size (e.g. \"settings\": {\"step_size\": 200})")
+    if name == "ExponentialLR" and "gamma" not in settings:
+        raise ValueError("scheduler 'ExponentialLR' requires "
+                         "scheduler.settings.gamma")
     if name == "StepLR":
         return StepLR(initial_lr, **settings)
     if name == "ExponentialLR":

@@ -85,7 +85,8 @@ def make_train_step(config: UNetConfig, spec: BatchSpec, tx, mesh=None,
             batch = build_batch(rasters, positions, pair_indices, bounds, rng, spec)
             x = batch["input"].astype(compute_dtype)
             pred, new_bn = apply_unet(config, params, bn_state, x,
-                                      train=True, axis_name=axis)
+                                      train=True, axis_name=axis,
+                                      sample_weights=weights)
             loss, (num, den) = denormalized_masked_l1(
                 pred, batch["target"], batch["loss_mask"], batch["dsm_mean"],
                 spec.dsm_std, weights, axis)

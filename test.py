@@ -115,8 +115,9 @@ def main() -> None:
     params, bn_state = load_weights(cfg, model_config)
 
     import jax.numpy as jnp
-    compute_dtype = (jnp.bfloat16 if cfg.general.get("compute_dtype") == "bfloat16"
-                     else jnp.float32)
+    _dtype_name = cfg.general.get("compute_dtype")
+    compute_dtype = {"bfloat16": jnp.bfloat16, "mixed": "mixed"}.get(
+        _dtype_name, jnp.float32)
     batch_size = cfg.general.get("batch_size", 64)
     use_pallas = cfg.general.get("use_pallas")  # None = auto by platform
 

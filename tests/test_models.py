@@ -284,3 +284,27 @@ def test_flagship_scale_parity_with_torch():
                                jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
     np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2), ref,
                                rtol=2e-4, atol=2e-4)
+
+
+def test_mixed_precision_close_to_f32():
+    """mixed mode (bf16 conv stack, f32 height path): output within mm-scale
+    of full f32 for O(1) normalised inputs — the serving-mode contract."""
+    config = _small_config()
+    params, state = junet.init_unet(jax.random.PRNGKey(0), config)
+
+    x = np.random.default_rng(9).normal(size=(2, 3, 32, 32)).astype(np.float32)
+    x_nhwc = jnp.asarray(x.transpose(0, 2, 3, 1))
+    y32, _ = junet.apply_unet(config, params, state, x_nhwc, train=False)
+    ymx, _ = junet.apply_unet(config, params, state, x_nhwc, train=False,
+                              mixed_precision=True)
+    assert ymx.dtype == jnp.float32
+    # bf16 trunk error is O(1e-2) per activation but the f32 outer skip
+    # carries the absolute height; the residual deviation stays small.
+    np.testing.assert_allclose(np.asarray(ymx), np.asarray(y32), atol=0.05)
+
+    # The outer skip must be exactly the f32 input, not a bf16 round-trip:
+    # at zero weights the network output is bias-only and mixed == f32.
+    zero_params = jax.tree_util.tree_map(jnp.zeros_like, params)
+    y0, _ = junet.apply_unet(config, zero_params, state, x_nhwc, train=False,
+                             mixed_precision=True)
+    np.testing.assert_allclose(np.asarray(y0[..., 0]), x[:, 0], atol=2e-6)

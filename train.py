@@ -49,18 +49,20 @@ parser.add_argument("config_file", type=str, help="JSON configuration file")
 
 
 def _choose_mesh(batch_size: int, want_parallel: bool, axis_name: str):
-    """Largest device count dividing the batch size (batches shard evenly)."""
-    import jax
-    from resdepth_tpu.parallel.mesh import data_mesh
+    """Mesh over ALL available devices, plus the emitted (padded) batch size.
 
-    n_avail = len(jax.devices())
-    if not want_parallel:
-        n_avail = 1
-    n_use = 1
-    for k in range(1, n_avail + 1):
-        if batch_size % k == 0:
-            n_use = k
-    return data_mesh(n_use, axis_name)
+    Batches whose size does not divide the device count are padded to the
+    next multiple with zero-weight samples (excluded from loss, gradients
+    and BatchNorm statistics — data/pipeline.py::BatchIndexIterator), so the
+    whole slice is always used and the optimisation trajectory is
+    numerically that of the configured batch size.
+    """
+    import jax
+    from resdepth_tpu.parallel.mesh import data_mesh, pad_to_multiple
+
+    n_use = len(jax.devices()) if want_parallel else 1
+    emit_size = pad_to_multiple(batch_size, n_use)
+    return data_mesh(n_use, axis_name), emit_size
 
 
 def _build_datasets(cfg_data, cfg, strategy, dsm_std, images_mean, images_std,
@@ -297,8 +299,11 @@ def main() -> None:
 
     # -------------------------------- steps -------------------------------- #
     batch_size = cfg.training_settings.batch_size
-    mesh = _choose_mesh(batch_size, cfg.tpu.data_parallel, cfg.tpu.mesh_axis)
-    logger.info(f"Data-parallel mesh: {mesh.shape}")
+    mesh, emit_size = _choose_mesh(batch_size, cfg.tpu.data_parallel,
+                                   cfg.tpu.mesh_axis)
+    logger.info(f"Data-parallel mesh: {mesh.shape}"
+                + (f" (batch {batch_size} zero-weight-padded to {emit_size})"
+                   if emit_size != batch_size else ""))
 
     import jax.numpy as jnp
     compute_dtype = jnp.bfloat16 if cfg.tpu.compute_dtype == "bfloat16" else jnp.float32
@@ -322,10 +327,12 @@ def main() -> None:
 
     train_loaders = [(device_put_dataset(ds),
                       BatchIndexIterator(ds, batch_size, shuffle=True,
-                                         seed=seed + 1000 + i))
+                                         seed=seed + 1000 + i,
+                                         emit_size=emit_size))
                      for i, ds in enumerate(train_datasets)]
     val_loaders = [(device_put_dataset(ds),
-                    BatchIndexIterator(ds, batch_size, shuffle=False))
+                    BatchIndexIterator(ds, batch_size, shuffle=False,
+                                       emit_size=emit_size))
                    for ds in val_datasets]
 
     hparams = {
