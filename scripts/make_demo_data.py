@@ -79,6 +79,110 @@ def hillshade(dsm: np.ndarray, azimuth_deg: float) -> np.ndarray:
     return radiance.astype(np.float32)
 
 
+def write_golden_scene(out_dir: str) -> dict:
+    """Small deterministic scene + configs for the committed-goldens flow.
+
+    The reference ships expected demo outputs (demo/results_expected,
+    README.md:535-539) for regression comparison; this is the equivalent:
+    a seeded 160x160 scene and a fast train config (depth-3 UNet, 32 px
+    tiles, 4 epochs) whose refined-DSM output is committed under
+    tests/goldens/ and re-checked by tests/test_demo_goldens.py.
+    Returns {"train": <train cfg path>, "test": <test cfg path>}.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    geotransform = (465000.0, GSD, 0.0, 5247000.0, 0.0, -GSD)
+    rows, cols = 160, 160
+    gt, dsm, building, water = synth_city(rows, cols, seed=11)
+
+    def write(name, data, nodata=NODATA):
+        path = os.path.join(out_dir, name)
+        tiff.write(path, data, geotransform=geotransform, nodata=nodata)
+        return os.path.abspath(path)
+
+    paths = {
+        "gt": write("ground_truth_DSM.tif", gt),
+        "dsm": write("initial_DSM.tif", dsm),
+        "building": write("mask_building.tif", building, nodata=255),
+        "water": write("mask_water.tif", water, nodata=255),
+    }
+    image_paths = [write(f"ortho_{az}.tif", hillshade(gt, az))
+                   for az in (315, 135)]
+    out_abs = os.path.abspath(out_dir)
+    with open(os.path.join(out_dir, "imagelist.txt"), "w") as f:
+        f.write("\n".join(image_paths) + "\n")
+    with open(os.path.join(out_dir, "pairlist.txt"), "w") as f:
+        f.write("ortho_315, ortho_135\n")
+
+    train_cfg = {
+        "datasets": [{
+            "name": "golden_city",
+            "raster_gt": paths["gt"],
+            "raster_in": paths["dsm"],
+            "path_image_list": os.path.join(out_abs, "imagelist.txt"),
+            "path_pairlist_training": os.path.join(out_abs, "pairlist.txt"),
+            "path_pairlist_validation": os.path.join(out_abs, "pairlist.txt"),
+            "area_type": "train+val",
+            "allocation_strategy": "5-crossval_vertical",
+            "test_stripe": 1,
+            "n_training_samples": 64,
+        }],
+        "model": {"input_channels": "geom-stereo", "depth": 3,
+                  "start_kernel": 8, "max_filter_depth": 32},
+        "stereopair_settings": {"use_all_stereo_pairs": False,
+                                "permute_images_within_pair": False},
+        "training_settings": {"tile_size": 32, "batch_size": 8, "n_epochs": 4,
+                              "augment": True, "loss": "L1"},
+        "optimizer": {"name": "Adam", "learning_rate": 0.0005},
+        "scheduler": {"enabled": True, "name": "StepLR",
+                      "settings": {"step_size": 2}},
+        "general": {"save_model_rate": 10, "evaluate_rate": 1,
+                    "random_seed": 0},
+        "output": {"output_directory": os.path.join(out_abs, "runs")},
+    }
+    train_path = os.path.join(out_dir, "config_train.json")
+    with open(train_path, "w") as f:
+        json.dump(train_cfg, f, indent=2)
+
+    test_cfg = {
+        "datasets": [{
+            "name": "golden_city",
+            "raster_gt": paths["gt"],
+            "raster_in": paths["dsm"],
+            "path_image_list": os.path.join(out_abs, "imagelist.txt"),
+            "path_pairlist": os.path.join(out_abs, "pairlist.txt"),
+            "mask_building": paths["building"],
+            "mask_water": paths["water"],
+            "allocation_strategy": "5-crossval_vertical",
+            "test_stripe": 1,
+            "area_type": "test",
+        }],
+        # model artifact paths are filled in after training (run dir is
+        # timestamped) — see fill_golden_test_config().
+        "model": {},
+        "general": {"tile_size": 32},
+        "output": {"directory": os.path.join(out_abs, "eval")},
+    }
+    test_path = os.path.join(out_dir, "config_test.json")
+    with open(test_path, "w") as f:
+        json.dump(test_cfg, f, indent=2)
+    return {"train": train_path, "test": test_path, "out": out_abs}
+
+
+def fill_golden_test_config(test_cfg_path: str, run_dir: str) -> None:
+    with open(test_cfg_path) as f:
+        cfg = json.load(f)
+    cfg["model"] = {
+        "weights": os.path.join(run_dir, "checkpoints", "Model_best.npz"),
+        "architecture": os.path.join(run_dir, "model_config.json"),
+        "normalization_geom": os.path.join(
+            run_dir, "DSM_normalization_parameters.p"),
+        "normalization_image": os.path.join(
+            run_dir, "Image_normalization_parameters.p"),
+    }
+    with open(test_cfg_path, "w") as f:
+        json.dump(cfg, f, indent=2)
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "demo"
     os.makedirs(out_dir, exist_ok=True)
