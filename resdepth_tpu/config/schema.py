@@ -53,6 +53,7 @@ GENERAL_KEYS = [
 OUTPUT_KEYS = ["output_directory", "tboard_log_dir", "suffix", "plot_model_txt"]
 
 TPU_KEYS = [
+    "train_precision",      # MXU precision for training convs
     "compute_dtype",        # 'float32' | 'bfloat16' | 'mixed' — model compute precision
                             # ('mixed': bf16 conv stack, f32 height path)
     "data_parallel",        # bool — shard batches over the device mesh
@@ -92,6 +93,7 @@ ACTIVATION_FUNCTIONS = ["relu", "lrelu", "prelu"]
 UPSAMPLING_MODES = ["transpose", "bilinear"]
 ALLOCATION_STRATEGIES = ["5-crossval_vertical", "5-crossval_horizontal", "entire"]
 COMPUTE_DTYPES = ["float32", "bfloat16", "mixed"]
+TRAIN_PRECISIONS = ["high", "default", "highest"]
 
 
 def n_views(multiview_config: str) -> int:

@@ -283,6 +283,10 @@ def _valid_tpu_args(cfg_user, logger) -> bool:
     if "compute_dtype" in tpu and not in_enum(tpu.compute_dtype, schema.COMPUTE_DTYPES,
                                               "compute_dtype", logger):
         error = True
+    if "train_precision" in tpu and not in_enum(
+            tpu.train_precision, schema.TRAIN_PRECISIONS, "train_precision",
+            logger):
+        error = True
     for key in ("data_parallel", "use_pallas", "donate_state"):
         if key in tpu and not is_boolean(tpu[key], key, logger):
             error = True

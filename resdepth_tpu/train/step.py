@@ -59,12 +59,24 @@ def _sharded(fn, mesh, axis_name, batch_axis=0):
 
 def make_train_step(config: UNetConfig, spec: BatchSpec, tx, mesh=None,
                     axis_name: str = "data", compute_dtype=jnp.float32,
-                    donate: bool = True, steps_per_call: int = 1):
+                    donate: bool = True, steps_per_call: int = 1,
+                    precision=None, weighted_bn: bool = True):
     """Build the jitted train step.
 
     Signature: ``step(state, rasters, positions, pair_idx, bounds, weights,
     rng) -> (state, metric)`` where ``metric`` is the global denormalised
     masked MAE of the batch in meters.
+
+    ``precision`` overrides the MXU precision for the model's convs/matmuls
+    (``cfg.tpu.train_precision``: 'high' = 3-pass f32, the parity default;
+    'default' = single-pass bf16 passes with f32 storage/accumulation —
+    measured +38% throughput with demo-identical convergence; 'highest'
+    available but pathological on v5e backward — BASELINE.md).
+
+    ``weighted_bn=False`` skips folding the 0/1 sample weights into the
+    BatchNorm batch statistics — valid ONLY when every batch is full
+    (no zero-weight padding), where the two are numerically identical;
+    it saves the extra weighted-moment elementwise passes.
 
     ``steps_per_call > 1`` runs that many optimizer steps inside ONE jitted
     program via ``lax.scan`` (batch arrays gain a leading steps dimension and
@@ -86,7 +98,9 @@ def make_train_step(config: UNetConfig, spec: BatchSpec, tx, mesh=None,
             x = batch["input"].astype(compute_dtype)
             pred, new_bn = apply_unet(config, params, bn_state, x,
                                       train=True, axis_name=axis,
-                                      sample_weights=weights)
+                                      sample_weights=(weights if weighted_bn
+                                                      else None),
+                                      precision=precision)
             loss, (num, den) = denormalized_masked_l1(
                 pred, batch["target"], batch["loss_mask"], batch["dsm_mean"],
                 spec.dsm_std, weights, axis)
@@ -127,7 +141,8 @@ def make_train_step(config: UNetConfig, spec: BatchSpec, tx, mesh=None,
 
 
 def make_eval_step(config: UNetConfig, spec: BatchSpec, mesh=None,
-                   axis_name: str = "data", compute_dtype=jnp.float32):
+                   axis_name: str = "data", compute_dtype=jnp.float32,
+                   precision=None):
     """Build the jitted eval step.
 
     Signature: ``eval_step(params, bn_state, rasters, positions, pair_idx,
@@ -141,7 +156,8 @@ def make_eval_step(config: UNetConfig, spec: BatchSpec, mesh=None,
                 weights, rng):
         batch = build_batch(rasters, positions, pair_indices, bounds, rng, spec)
         x = batch["input"].astype(compute_dtype)
-        pred, _ = apply_unet(config, params, bn_state, x, train=False)
+        pred, _ = apply_unet(config, params, bn_state, x, train=False,
+                             precision=precision)
         _, (num, den) = denormalized_masked_l1(
             pred, batch["target"], batch["loss_mask"], batch["dsm_mean"],
             spec.dsm_std, weights, None)

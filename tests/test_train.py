@@ -438,3 +438,32 @@ def test_batch_iterator_emit_size():
     np.testing.assert_array_equal(batches[0][3], [1, 1, 1, 1, 1, 1, 0, 0])
     np.testing.assert_array_equal(batches[1][3], [1, 1, 1, 1, 0, 0, 0, 0])
     assert list(batches[1][1][:4]) == [6, 7, 8, 9]
+
+
+def test_unweighted_bn_step_matches_weighted_for_full_batches():
+    """make_train_step(weighted_bn=False) is numerically equivalent for full
+    (all-ones-weight) batches — the static fast path train.py picks when no
+    padding can occur."""
+    config, spec, rasters, positions, pair_idx, bounds, weights = _toy_setup(batch=8)
+    tx = build_optimizer("Adam", 1e-5)
+    key = jax.random.PRNGKey(1)
+
+    def run(weighted_bn):
+        params, bn = init_unet(jax.random.PRNGKey(0), config)
+        state = init_train_state(params, bn, tx, 1e-3)
+        step = make_train_step(config, spec, tx, mesh=None, donate=False,
+                               weighted_bn=weighted_bn)
+        metrics = []
+        for _ in range(3):
+            state, metric = step(state, rasters, positions, pair_idx, bounds,
+                                 weights, key)
+            metrics.append(float(metric))
+        return state, metrics
+
+    state_w, metrics_w = run(True)
+    state_u, metrics_u = run(False)
+    np.testing.assert_allclose(metrics_w, metrics_u, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state_w.bn_state),
+                    jax.tree_util.tree_leaves(state_u.bn_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

@@ -310,17 +310,29 @@ def main() -> None:
 
     train_spec = batch_spec_for(train_datasets[0])
     val_spec = batch_spec_for(val_datasets[0])
+    import jax as _jax
+    precision = {"high": _jax.lax.Precision.HIGH,
+                 "default": _jax.lax.Precision.DEFAULT,
+                 "highest": _jax.lax.Precision.HIGHEST}[
+        cfg.tpu.get("train_precision", "high")]
+    # Weighted BN statistics are only needed when zero-weight padding can
+    # occur; with full batches the unweighted path is numerically identical
+    # and skips the weighted-moment passes (train/step.py).
+    weighted_bn = (emit_size != batch_size or
+                   any(len(ds) % batch_size != 0 for ds in train_datasets))
     train_step = make_train_step(model_config, train_spec, tx, mesh=mesh,
                                  axis_name=cfg.tpu.mesh_axis,
                                  compute_dtype=compute_dtype,
-                                 donate=cfg.tpu.donate_state)
+                                 donate=cfg.tpu.donate_state,
+                                 precision=precision, weighted_bn=weighted_bn)
     steps_per_call = cfg.tpu.get("steps_per_call", 1)
     train_step_multi = None
     if steps_per_call > 1:
         train_step_multi = make_train_step(
             model_config, train_spec, tx, mesh=mesh,
             axis_name=cfg.tpu.mesh_axis, compute_dtype=compute_dtype,
-            donate=cfg.tpu.donate_state, steps_per_call=steps_per_call)
+            donate=cfg.tpu.donate_state, steps_per_call=steps_per_call,
+            precision=precision, weighted_bn=weighted_bn)
     eval_step = make_eval_step(model_config, val_spec, mesh=mesh,
                                axis_name=cfg.tpu.mesh_axis,
                                compute_dtype=compute_dtype)
