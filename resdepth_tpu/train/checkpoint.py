@@ -84,3 +84,48 @@ def load_checkpoint(path: str, *, params_template=None, bn_template=None,
 
     return (meta, restore("params", params_template),
             restore("bn_state", bn_template), restore("opt_state", opt_template))
+
+
+class AsyncCheckpointer:
+    """Overlap checkpoint persistence with training.
+
+    ``save()`` snapshots the pytrees with a device-side copy (cheap; ordered
+    before any later donation of the live buffers on the single compute
+    stream) and hands fetch + file write to a background thread, so the train
+    loop never stalls on the device->host transfer (which dominates on
+    remote/tunneled devices). Saves to any path serialize through one worker;
+    ``wait()`` joins the in-flight save and re-raises its error, if any.
+    """
+
+    def __init__(self):
+        self._thread = None
+        self._error = None
+
+    def save(self, path: str, *, epoch: int, params, bn_state, opt_state=None,
+             **meta) -> None:
+        import threading
+
+        import jax.numpy as jnp
+
+        self.wait()
+        snap_params, snap_bn, snap_opt = jax.tree_util.tree_map(
+            jnp.copy, (params, bn_state, opt_state))
+
+        def work():
+            try:
+                save_checkpoint(path, epoch=epoch, params=snap_params,
+                                bn_state=snap_bn, opt_state=snap_opt, **meta)
+            except Exception as exc:  # surfaced on the next wait()/save()
+                self._error = exc
+
+        self._thread = threading.Thread(target=work, daemon=True,
+                                        name="ckpt-writer")
+        self._thread.start()
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            error, self._error = self._error, None
+            raise error

@@ -81,6 +81,7 @@ class Trainer:
         self.logger = logger or setup_logger("train_logger", log_to_console=True,
                                              log_file=log_file)
         self.writer = MetricsWriter(tboard_log_dir, metrics_jsonl)
+        self._checkpointer = ckpt_io.AsyncCheckpointer()
         self.hparams = hparams or {}
 
         self.start_epoch = 0
@@ -212,7 +213,9 @@ class Trainer:
         return loss
 
     def _save(self, path: str, epoch: int) -> None:
-        ckpt_io.save_checkpoint(
+        # Async: device-side snapshot now, fetch + write in a worker thread
+        # (the device->host transfer otherwise stalls the step pipeline).
+        self._checkpointer.save(
             path, epoch=epoch, params=self.state.params,
             bn_state=self.state.bn_state, opt_state=self.state.opt_state,
             lr=self._lr(), loss_train=self._last_train_loss,
@@ -264,3 +267,4 @@ class Trainer:
             self.best_loss))
         self.writer.close()
         self._save(self.path_model_last, epoch)
+        self._checkpointer.wait()  # Model_last must exist when train() returns

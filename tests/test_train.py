@@ -467,3 +467,32 @@ def test_unweighted_bn_step_matches_weighted_for_full_batches():
                     jax.tree_util.tree_leaves(state_u.bn_state)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_async_checkpointer_roundtrip(tmp_path):
+    """AsyncCheckpointer: device snapshot + background write == sync save."""
+    config = UNetConfig(n_input_channels=1, start_kernel=4, max_filter_depth=8,
+                        depth=2)
+    tx = build_optimizer("Adam", 1e-5)
+    params, bn = init_unet(jax.random.PRNGKey(5), config)
+    state = init_train_state(params, bn, tx, 2e-4)
+
+    path = str(tmp_path / "async.npz")
+    cp = ckpt_io.AsyncCheckpointer()
+    cp.save(path, epoch=3, params=state.params, bn_state=state.bn_state,
+            opt_state=state.opt_state, lr=2e-4)
+    cp.wait()
+
+    meta, p2, b2, o2 = ckpt_io.load_checkpoint(
+        path, params_template=state.params, bn_template=state.bn_state,
+        opt_template=state.opt_state)
+    assert meta["epoch"] == 3
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # errors surface on wait()
+    cp.save(str(tmp_path / "nodir" / "x.npz"), epoch=0,
+            params=state.params, bn_state=state.bn_state)
+    with pytest.raises(Exception):
+        cp.wait()
