@@ -183,6 +183,9 @@ def bench_train_step() -> float | None:
 def main() -> None:
     import os
 
+    from resdepth_tpu.utils import compilation_cache
+    compilation_cache.enable()  # repeat driver runs skip the slow compiles
+
     tpu_f32 = bench_tpu("float32")
     tpu_aux = {}
     for mode in ("bfloat16", "mixed"):
