@@ -81,13 +81,25 @@ def _conv_kernel(xp_ref, w_ref, b_ref, out_ref, window, sem, *, block_rows,
     for dy in range(3):
         for dx in range(3):
             tap = win[dy:dy + bh, dx:dx + width, :].reshape(bh * width, c_in)
-            acc += jnp.dot(
-                tap, w_ref[dy * 3 + dx],
-                preferred_element_type=jnp.float32,
-                # HIGH matches the production f32 conv policy
-                # (models/unet.py::_precision): like-for-like with XLA.
-                precision=(jax.lax.Precision.HIGH if f32
-                           else jax.lax.Precision.DEFAULT))
+            w_tap = w_ref[dy * 3 + dx]
+            if f32:
+                # Mosaic dots support only DEFAULT/HIGHEST; emulate the
+                # production 3-pass HIGH policy (models/unet.py::_precision)
+                # with an explicit bf16 hi/lo split: x@w ~= hi_x@hi_w +
+                # hi_x@lo_w + lo_x@hi_w, each a single-pass bf16 MXU dot
+                # with f32 accumulation — the same decomposition HIGH uses.
+                hi_t = tap.astype(jnp.bfloat16)
+                lo_t = (tap - hi_t.astype(jnp.float32)).astype(jnp.bfloat16)
+                hi_w = w_tap.astype(jnp.bfloat16)
+                lo_w = (w_tap - hi_w.astype(jnp.float32)).astype(jnp.bfloat16)
+                for a, b in ((hi_t, hi_w), (hi_t, lo_w), (lo_t, hi_w)):
+                    acc += jnp.dot(a, b,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.DEFAULT)
+            else:
+                acc += jnp.dot(tap, w_tap,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.DEFAULT)
     acc += b_ref[0]
     acc = _act(acc, act_fn, b_ref[1] if act_fn == "prelu" else None)
     out_ref[0] = acc.reshape(bh, width, c_out).astype(out_ref.dtype)
