@@ -199,8 +199,8 @@ def _valid_general_args(cfg, logger) -> bool:
                                                   schema.COMPUTE_DTYPES,
                                                   "compute_dtype", logger):
         error = True
-    if "use_pallas" in general and not is_boolean(general.use_pallas,
-                                                  "use_pallas", logger):
+    if "use_pallas" in general and general.use_pallas != "fused" and \
+            not is_boolean(general.use_pallas, "use_pallas", logger):
         error = True
     return not error
 

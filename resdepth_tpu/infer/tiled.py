@@ -38,7 +38,9 @@ from resdepth_tpu.data.pipeline import (BatchSpec, DeviceRasters,
 from resdepth_tpu.models.unet import UNetConfig, apply_unet
 from resdepth_tpu.ops import blend
 from resdepth_tpu.ops.pallas_stitch import (crop_scene, pad_scene,
-                                            stitch_tiles_pallas, stitch_tiles_xla)
+                                            stitch_tiles_pallas,
+                                            stitch_tiles_pallas_fused,
+                                            stitch_tiles_xla)
 
 
 def _pad_round_up(array, n, pad_value=0):
@@ -75,7 +77,10 @@ def _make_scene_fn(config: UNetConfig, spec: BatchSpec, shape, dsm_std,
             # Denormalisation + blend weighting + overlap-add fuse into the
             # stitch op (Pallas kernel on TPU, scatter-add elsewhere). The
             # Pallas path carries an alignment-padded scene through the scan.
-            if use_pallas:
+            if use_pallas == "fused":
+                carry = stitch_tiles_pallas_fused(carry, pred, pos, wy, wx,
+                                                  batch["dsm_mean"], dsm_std)
+            elif use_pallas:
                 carry = stitch_tiles_pallas(carry, pred, pos, wy, wx,
                                             batch["dsm_mean"], dsm_std)
             else:
@@ -149,6 +154,9 @@ def predict_linear_blend(config: UNetConfig, params, bn_state, ds: TileDataset,
     parity with lib/evaluation.py:460: same spatial extent as the initial DSM;
     pixels outside the covered region remain 0. ``fold_bn`` folds eval-mode
     BatchNorm into the conv weights (exact; saves elementwise HBM passes).
+    ``use_pallas``: False = XLA scatter-add, True = per-tile-program Pallas
+    kernel, "fused" = single-program Pallas kernel with double-buffered tile
+    DMA (ops/pallas_stitch.py); None = auto (True on TPU).
     """
     if fold_bn and config.do_BN:
         from resdepth_tpu.models.unet import fold_batchnorm
