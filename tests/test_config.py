@@ -183,3 +183,29 @@ def test_attrdict_update_wraps_nested():
     assert d.settings.n_input_channels == 4   # attribute access after update
     d.setdefault("general", {"tile_size": 16})
     assert d.general.tile_size == 16
+
+
+def test_validate_infer_use_pallas_modes(make_geotiff, tmp_path):
+    """general.use_pallas accepts booleans and the 'fused' kernel variant."""
+    raster = make_geotiff("dsm.tif", np.zeros((64, 64), np.float32))
+    arch = {"name": "UNet", "input_channels": "geom",
+            "settings": {"n_input_channels": 1, "depth": 2, "start_kernel": 4}}
+    arch_path = str(tmp_path / "model_config.json")
+    io.write_json(arch, arch_path)
+    weights_path = str(tmp_path / "weights.npz")
+    np.savez(weights_path, dummy=np.zeros(1))
+    norm_path = str(tmp_path / "norm.json")
+    io.write_json({"mean": None, "std": 1.0}, norm_path)
+
+    def check(value):
+        cfg = {
+            "datasets": [{"raster_in": raster}],
+            "model": {"weights": weights_path, "architecture": arch_path,
+                      "normalization_geom": norm_path},
+            "general": {"tile_size": 16, "use_pallas": value},
+            "output": {"directory": str(tmp_path / "eval_out")},
+        }
+        return validate_infer.validate_and_update_cfg_file(cfg, logger).status
+
+    assert check(True) and check(False) and check("fused")
+    assert check("sideways") is False
