@@ -76,6 +76,7 @@ DATASET_KEYS_OPTIONAL_eval = [
 ]
 MODEL_KEYS_eval = ["weights", "architecture", "normalization_geom", "normalization_image"]
 GENERAL_KEYS_eval = ["tile_size", "workers", "batch_size", "compute_dtype",
+                     "data_parallel",
                      "use_pallas"]
 OUTPUT_KEYS_eval = ["directory"]
 

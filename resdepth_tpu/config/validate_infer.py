@@ -202,6 +202,9 @@ def _valid_general_args(cfg, logger) -> bool:
     if "use_pallas" in general and general.use_pallas != "fused" and \
             not is_boolean(general.use_pallas, "use_pallas", logger):
         error = True
+    if "data_parallel" in general and not is_boolean(general.data_parallel,
+                                                     "data_parallel", logger):
+        error = True
     return not error
 
 

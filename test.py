@@ -114,12 +114,20 @@ def main() -> None:
     logger.info(f"Load model weights: {cfg.model.weights}")
     params, bn_state = load_weights(cfg, model_config)
 
+    import jax
     import jax.numpy as jnp
     _dtype_name = cfg.general.get("compute_dtype")
     compute_dtype = {"bfloat16": jnp.bfloat16, "mixed": "mixed"}.get(
         _dtype_name, jnp.float32)
     batch_size = cfg.general.get("batch_size", 64)
     use_pallas = cfg.general.get("use_pallas")  # None = auto by platform
+    # Tile batches shard over every available chip; each device accumulates a
+    # partial scene and one psum over ICI merges them (infer/tiled.py).
+    mesh = None
+    if cfg.general.get("data_parallel", True) and len(jax.devices()) > 1:
+        from resdepth_tpu.parallel.mesh import data_mesh
+        mesh = data_mesh()
+        logger.info(f"Inference mesh: {mesh.shape}")
 
     # ------------------------------ inference ------------------------------ #
     logger.info("\n\nInference\n---------\n")
@@ -176,7 +184,7 @@ def main() -> None:
                     model_config, params, bn_state, tile_ds,
                     max_device_pixels=MAX_DEVICE_PIXELS,
                     batch_size=batch_size, compute_dtype=compute_dtype,
-                    use_pallas=use_pallas)
+                    use_pallas=use_pallas, mesh=mesh)
             else:
                 if device_rasters is None:
                     device_rasters = device_put_dataset(tile_ds)
@@ -185,7 +193,7 @@ def main() -> None:
                 prediction = predict_linear_blend(
                     model_config, params, bn_state, tile_ds,
                     batch_size=batch_size, compute_dtype=compute_dtype,
-                    rasters=pair_rasters, use_pallas=use_pallas)
+                    rasters=pair_rasters, use_pallas=use_pallas, mesh=mesh)
 
             area_defn = dataset.area_defn
             if dataset.get("raster_gt"):
