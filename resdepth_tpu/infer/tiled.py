@@ -122,7 +122,12 @@ def _predict_tiles(config, params, bn_state, rasters, positions, pair_idx,
     """Run the jitted scan over one set of tiles into a (rows, cols) canvas."""
     tile = spec.tile_size
     n = len(positions)
-    per_step = batch_size * (mesh.devices.size if mesh is not None else 1)
+    n_dev = mesh.devices.size if mesh is not None else 1
+    # Don't pad small scenes up to a huge global step: cap the per-device
+    # batch at the per-device share of the tile count (zero-weight padding
+    # is correct but wasted forward compute).
+    batch_size = max(1, min(batch_size, -(-n // n_dev)))
+    per_step = batch_size * n_dev
     n_padded = ((n + per_step - 1) // per_step) * per_step
     n_steps = n_padded // per_step
 
