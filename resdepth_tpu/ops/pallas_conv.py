@@ -4,23 +4,26 @@ The UNet's hot op is the 3x3 same-padding conv followed by (folded-BN) bias
 and activation (lib/UNet.py:36-52; BN folds into the conv at inference —
 models/unet.py::fold_batchnorm). XLA lowers this well already; this kernel
 exists to MEASURE whether a hand-fused version wins (VERDICT r1 item 3:
-"build and measure, or kill with data") and is adopted behind
-``tpu.use_pallas_conv`` only where the measurement says so (BASELINE.md
-records the per-shape table).
+"build and measure, or kill with data"); BASELINE.md records the per-shape
+table and the adoption decision.
 
 Shape strategy per (N, H, W, C_in) -> (N, H, W, C_out):
 
-  * the input is spatially pre-padded once in XLA (H+2, W+2);
-  * grid = (N, H / BH) row-bands; each program DMAs its (BH+2, W+2, C_in)
-    halo window HBM -> VMEM, DOUBLE-BUFFERED: program i starts the window
-    DMA for program i+1 before computing, hiding load latency behind the
-    matmuls;
-  * compute = 9 tap matmuls (BH*W, C_in) @ (C_in, C_out) accumulated in
-    f32 on the MXU, then bias + activation on the VPU, written back through
-    the pipelined output block.
+  * the input is spatially pre-padded once in XLA and exposed as THREE
+    row-shifted views (rows dy..dy+H for dy in 0..2). Row-blocking each view
+    with an ordinary non-overlapping BlockSpec hands every grid program its
+    (bh, W+2, C_in) halo window without any manual HBM DMA — Pallas's block
+    pipeline streams and double-buffers the windows itself. (Manual
+    make_async_copy + MXU dots in one kernel crashes this TPU toolchain's
+    remote Mosaic compiler — probed and recorded in BASELINE.md — and
+    overlapping halos are not expressible as a single BlockSpec.)
+  * compute = 9 tap matmuls (bh*W, C_in) @ (C_in, C_out) accumulated in f32
+    on the MXU, then bias + activation on the VPU, written through the
+    pipelined output block.
 
-f32 inputs use 3-pass HIGH MXU precision (the production f32 conv policy,
-models/unet.py::_precision); bf16 inputs use native single-pass bf16.
+f32 inputs run the production 3-pass HIGH policy via an explicit bf16 hi/lo
+split (Mosaic dots support only DEFAULT/HIGHEST); bf16 inputs use native
+single-pass bf16.
 """
 
 from __future__ import annotations
@@ -43,62 +46,34 @@ def _act(x, act_fn, act_param):
     return x
 
 
-def _conv_kernel(xp_ref, w_ref, b_ref, out_ref, window, sem, *, block_rows,
-                 act_fn, n_programs):
-    n = pl.program_id(0)
-    i = pl.program_id(1)
-    n_row_blocks = pl.num_programs(1)
-    bh = block_rows
-    w_pad = xp_ref.shape[2]          # W + 2
-    width = w_pad - 2
-    c_in = xp_ref.shape[3]
+def _conv_kernel(v0_ref, v1_ref, v2_ref, w_ref, b_ref, out_ref, *, act_fn):
+    bh = out_ref.shape[1]
+    width = out_ref.shape[2]
+    c_in = v0_ref.shape[3]
     c_out = w_ref.shape[2]
-
-    def window_dma(slot, prog_lin):
-        n_i = prog_lin // n_row_blocks
-        r_i = prog_lin % n_row_blocks
-        return pltpu.make_async_copy(
-            xp_ref.at[n_i, pl.ds(r_i * bh, bh + 2)],
-            window.at[slot], sem.at[slot])
-
-    lin = n * n_row_blocks + i
-    slot = jax.lax.rem(lin, 2)
-
-    # First program fills its own slot; everyone prefetches the successor.
-    @pl.when(lin == 0)
-    def _():
-        window_dma(0, 0).start()
-
-    @pl.when(lin + 1 < n_programs)
-    def _():
-        window_dma(1 - slot, lin + 1).start()
-
-    window_dma(slot, lin).wait()
-    win = window[slot]
+    views = (v0_ref, v1_ref, v2_ref)
 
     acc = jnp.zeros((bh * width, c_out), jnp.float32)
-    f32 = win.dtype == jnp.float32
+    f32 = v0_ref.dtype == jnp.float32
     for dy in range(3):
+        win = views[dy][0]                      # (bh, W+2, C_in)
         for dx in range(3):
-            tap = win[dy:dy + bh, dx:dx + width, :].reshape(bh * width, c_in)
+            tap = win[:, dx:dx + width, :].reshape(bh * width, c_in)
             w_tap = w_ref[dy * 3 + dx]
             if f32:
                 # Mosaic dots support only DEFAULT/HIGHEST; emulate the
                 # production 3-pass HIGH policy (models/unet.py::_precision)
-                # with an explicit bf16 hi/lo split: x@w ~= hi_x@hi_w +
-                # hi_x@lo_w + lo_x@hi_w, each a single-pass bf16 MXU dot
-                # with f32 accumulation — the same decomposition HIGH uses.
+                # with an explicit bf16 hi/lo split — the same decomposition
+                # HIGH uses on the MXU.
                 hi_t = tap.astype(jnp.bfloat16)
                 lo_t = (tap - hi_t.astype(jnp.float32)).astype(jnp.bfloat16)
                 hi_w = w_tap.astype(jnp.bfloat16)
                 lo_w = (w_tap - hi_w.astype(jnp.float32)).astype(jnp.bfloat16)
                 for a, b in ((hi_t, hi_w), (hi_t, lo_w), (lo_t, hi_w)):
-                    acc += jnp.dot(a, b,
-                                   preferred_element_type=jnp.float32,
+                    acc += jnp.dot(a, b, preferred_element_type=jnp.float32,
                                    precision=jax.lax.Precision.DEFAULT)
             else:
-                acc += jnp.dot(tap, w_tap,
-                               preferred_element_type=jnp.float32,
+                acc += jnp.dot(tap, w_tap, preferred_element_type=jnp.float32,
                                precision=jax.lax.Precision.DEFAULT)
     acc += b_ref[0]
     acc = _act(acc, act_fn, b_ref[1] if act_fn == "prelu" else None)
@@ -106,15 +81,16 @@ def _conv_kernel(xp_ref, w_ref, b_ref, out_ref, window, sem, *, block_rows,
 
 
 def _pick_block_rows(h, w, c_in, c_out, dtype_bytes):
-    """Largest row band whose working set fits a conservative VMEM budget."""
+    """Largest row band whose working set fits a conservative VMEM budget
+    (x2 for the pipeline's double buffering of every block)."""
     budget = 10 * 1024 * 1024
     weights = 9 * c_in * c_out * dtype_bytes + 2 * c_out * 4
     bh = h
     while bh > 8:
-        window = 2 * (bh + 2) * (w + 2) * c_in * dtype_bytes   # double buffer
-        out = 2 * bh * w * c_out * dtype_bytes                 # pipelined out
+        views = 3 * 2 * bh * (w + 2) * c_in * dtype_bytes
+        out = 2 * bh * w * c_out * dtype_bytes
         acc = bh * w * c_out * 4
-        if weights + window + out + acc <= budget:
+        if weights + views + out + acc <= budget:
             break
         bh //= 2
     return max(bh, min(8, h))
@@ -136,6 +112,7 @@ def conv3x3_bias_act(x, kernel, bias, act_param=None, *, act_fn="relu",
     assert h % bh == 0, (h, bh)
 
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    views = tuple(xp[:, dy:dy + h] for dy in range(3))
     w9 = kernel.astype(x.dtype).reshape(9, c_in, c_out)
     # bias row 0, prelu weight row 1 (always present to keep one signature)
     b2 = jnp.stack([
@@ -144,25 +121,19 @@ def conv3x3_bias_act(x, kernel, bias, act_param=None, *, act_fn="relu",
         act_param.astype(jnp.float32) if act_param is not None
         else jnp.zeros((c_out,), jnp.float32)])
 
-    grid = (n, h // bh)
-    n_programs = n * (h // bh)
-    kernel_fn = functools.partial(_conv_kernel, block_rows=bh, act_fn=act_fn,
-                                  n_programs=n_programs)
+    view_spec = pl.BlockSpec((1, bh, w + 2, c_in),
+                             lambda ni, ri: (ni, ri, 0, 0),
+                             memory_space=pltpu.VMEM)
+    kernel_fn = functools.partial(_conv_kernel, act_fn=act_fn)
     return pl.pallas_call(
         kernel_fn,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),                  # xp (HBM)
-            pl.BlockSpec(memory_space=pltpu.VMEM),              # weights
-            pl.BlockSpec(memory_space=pltpu.VMEM),              # bias/prelu
-        ],
+        grid=(n, h // bh),
+        in_specs=[view_spec, view_spec, view_spec,
+                  pl.BlockSpec(memory_space=pltpu.VMEM),    # weights
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],   # bias/prelu
         out_specs=pl.BlockSpec((1, bh, w, c_out),
                                lambda ni, ri: (ni, ri, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w, c_out), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, bh + 2, w + 2, c_in), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
         interpret=interpret,
-    )(xp, w9, b2)
+    )(*views, w9, b2)
