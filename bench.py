@@ -166,7 +166,9 @@ def bench_train_step() -> float | None:
         state, m = step(state, rasters, pos, pidx,
                         np.zeros((K, B, 4), np.int32),
                         np.ones((K, B), np.float32), key)
-        jax.block_until_ready(m)
+        # Fetch a scalar: through the device relay, block_until_ready
+        # returns early and under-reports (BASELINE.md measurement hygiene).
+        assert np.isfinite(float(np.asarray(m)[-1]))
         return state, time.perf_counter() - t0
 
     state, compile_t = window(state)
