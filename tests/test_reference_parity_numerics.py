@@ -42,8 +42,9 @@ def _load_with_stubs(relpath, module_name, extra_stubs=None):
     """Exec a reference module with stubbed imports; clean sys.modules after."""
     stubs = {
         "easydict": types.SimpleNamespace(EasyDict=_EDict),
-        "osgeo": types.SimpleNamespace(gdal=types.SimpleNamespace(Dataset=())),
-        "osgeo.gdal": types.SimpleNamespace(Dataset=()),
+        "osgeo": types.SimpleNamespace(
+            gdal=types.SimpleNamespace(Dataset=(), GA_ReadOnly=0)),
+        "osgeo.gdal": types.SimpleNamespace(Dataset=(), GA_ReadOnly=0),
         "torchvision": types.SimpleNamespace(transforms=types.SimpleNamespace()),
         "torchvision.transforms": types.SimpleNamespace(),
         "lib": types.ModuleType("lib"),
@@ -158,3 +159,119 @@ def test_allocation_matches_reference(strategy, test_stripe, crossval,
         for axis in ref_region:  # empty dict in crossval test regions
             assert list(map(tuple, got_region[axis])) == \
                 list(map(tuple, ref_region[axis])), (strategy, test_stripe)
+
+
+@pytest.mark.parametrize("tile,stride,regions", [
+    (16, 8, [((0, 63), (0, 79))]),                       # single region
+    (16, 16, [((0, 63), (0, 79))]),                      # non-overlapping
+    (16, 8, [((0, 63), (0, 30)), ((0, 63), (31, 79))]),  # two stripes
+    (32, 16, [((3, 70), (5, 76))]),                      # offsets + edge shift
+    (16, 8, [((0, 17), (0, 17))]),                       # barely > tile
+])
+def test_create_regular_grid_matches_reference(tile, stride, regions):
+    """Tile origins AND per-tile exclusive (non-overlap) bounds agree exactly
+    with lib/rasterutils.py:100-191 — the blend weights and eval masks both
+    depend on this contract."""
+    from resdepth_tpu.geo import grid as ours
+
+    ref_ru = _load_with_stubs("lib/rasterutils.py", "ref_rasterutils")
+    area = {"y_extent": [r[0] for r in regions],
+            "x_extent": [r[1] for r in regions]}
+
+    ref_pos, ref_excl = ref_ru.create_regular_grid(area, tile, stride)
+    got_pos, got_excl = ours.create_regular_grid(area, tile, stride)
+    assert list(map(tuple, got_pos)) == list(map(tuple, ref_pos))
+    assert list(map(tuple, got_excl)) == list(map(tuple, ref_excl))
+
+
+def _write_pair_files(tmp_path, imagelist_lines, pairlist_lines):
+    il = tmp_path / "imagelist.txt"
+    il.write_text("\n".join(imagelist_lines) + "\n")
+    pl = tmp_path / "pairlist.txt"
+    pl.write_text("\n".join(pairlist_lines) + "\n")
+    return str(il), str(pl)
+
+
+def _load_ref_pairlist():
+    import logging
+
+    return _load_with_stubs(
+        "lib/io_control_file.py", "ref_io_control_file",
+        extra_stubs={"lib.utils": types.SimpleNamespace(
+            setup_logger=lambda *a, **k: logging.getLogger("ref_pairlist")),
+            "lib.fdutil": types.SimpleNamespace(
+                file_exists=lambda p: True,
+                filename=lambda p: os.path.basename(p))})
+
+
+@pytest.mark.parametrize("pairs,ok", [
+    (["img_a, img_b", "img_b, img_c"], True),
+    (["img_a"], True),                                # mono
+    (["img_a, img_b, img_c"], True),                  # multiview
+    (["img_a, img_b", "img_a"], False),               # ragged arity
+    (["img_a, img_x"], False),                        # unknown image
+    (["img_a, img_b", "img_a, img_b"], False),        # duplicate pair
+    (["img, img_b"], False),                          # ambiguous substring
+])
+def test_pairlist_parser_matches_reference(tmp_path, pairs, ok):
+    """Same index tuples and the same error conditions as
+    lib/io_control_file.py:51-123 (substring matching included)."""
+    from resdepth_tpu.data import control_files as ours
+
+    ref_io = _load_ref_pairlist()
+    il, pl = _write_pair_files(
+        tmp_path, ["/data/img_a.tif", "/data/img_b.tif", "/data/img_c.tif"],
+        pairs)
+    ref_images, ref_pairs = ref_io.read_pairlist_from_file(il, pl)
+    got_images, got_pairs = ours.read_pairlist_from_file(il, pl)
+    assert got_images == ref_images
+    assert (got_pairs is None) == (ref_pairs is None) == (not ok)
+    if ok:
+        assert list(map(tuple, got_pairs)) == list(map(tuple, ref_pairs))
+
+
+def test_pairlist_duplicate_within_pair_reference_bug(tmp_path):
+    """Documented divergence: the reference's duplicate-within-pair check
+    compares a LIST against a list of ints (`index in indices`,
+    lib/io_control_file.py:108) and therefore never fires — `img_a, img_a`
+    silently yields (0, 0). We reject it, as the reference's own error
+    message intends (docs/PARITY.md)."""
+    from resdepth_tpu.data import control_files as ours
+
+    ref_io = _load_ref_pairlist()
+    il, pl = _write_pair_files(
+        tmp_path, ["/data/img_a.tif", "/data/img_b.tif"], ["img_a, img_a"])
+    _, ref_pairs = ref_io.read_pairlist_from_file(il, pl)
+    assert ref_pairs == [(0, 0)]          # the latent reference bug
+    _, got_pairs = ours.read_pairlist_from_file(il, pl)
+    assert got_pairs is None              # our intended rejection
+
+
+def test_config_merge_matches_reference():
+    """Recursive user-over-default merge semantics == lib/cfg_utils.py:56-75."""
+    import collections
+
+    from resdepth_tpu.config import io as ours
+    from resdepth_tpu.utils.attrdict import AttrDict
+
+    # The reference targets Python 3.7 (collections.Mapping pre-3.10 removal)
+    coll_compat = types.SimpleNamespace(**{k: getattr(collections, k)
+                                           for k in dir(collections)
+                                           if not k.startswith("_")},
+                                        Mapping=collections.abc.Mapping)
+    ref_cfg = _load_with_stubs("lib/cfg_utils.py", "ref_cfg_utils",
+                               extra_stubs={"collections": coll_compat})
+
+    default = {"a": 1, "nested": {"x": 1, "y": {"deep": 2}, "keep": 3},
+               "lst": [1, 2]}
+    user = {"a": 9, "nested": {"y": {"deep": 7}, "new": 4}, "lst": [5]}
+
+    ref = ref_cfg.merge(ref_cfg.edict(default), ref_cfg.edict(user))
+    got = ours.merge(AttrDict(default), AttrDict(user))
+
+    def plain(d):
+        if isinstance(d, dict):
+            return {k: plain(v) for k, v in d.items()}
+        return d
+
+    assert plain(got) == plain(ref)
