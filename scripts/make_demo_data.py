@@ -237,6 +237,10 @@ def main() -> None:
         "scheduler": {"enabled": True, "name": "StepLR",
                       "settings": {"step_size": 10}},
         "general": {"save_model_rate": 10, "evaluate_rate": 1, "random_seed": 0},
+        # Round-2 measured recommendations: 1-pass bf16 MXU training
+        # (+44% over the f32 parity mode, demo-identical convergence) and
+        # multi-step dispatch (BASELINE.md).
+        "tpu": {"train_precision": "default", "steps_per_call": 8},
         "output": {"output_directory": os.path.join(out_abs, "runs"),
                    "suffix": "demo"},
     }
@@ -262,7 +266,9 @@ def main() -> None:
             "normalization_geom": "EDIT: <run_dir>/DSM_normalization_parameters.p",
             "normalization_image": "EDIT: <run_dir>/Image_normalization_parameters.p",
         },
-        "general": {"tile_size": 128},
+        # 'mixed' serving: bf16 conv stack, f32 height path — measured
+        # 0.87 cm mean deviation from f32 at ~2.3x throughput (BASELINE.md).
+        "general": {"tile_size": 128, "compute_dtype": "mixed"},
         "output": {"directory": os.path.join(out_abs, "eval")},
     }
     with open(os.path.join(out_dir, "config_test.json"), "w") as f:
