@@ -90,6 +90,7 @@ def default_cfg() -> AttrDict:
 
         data_parallel=True,
         mesh_axis="data",
+        dcn_slices=1,  # >1: 2-D (dcn, ici) mesh — multi-slice data parallelism
         use_pallas=True,
         steps_per_call=1,
         profile_dir="",

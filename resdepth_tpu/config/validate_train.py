@@ -293,6 +293,9 @@ def _valid_tpu_args(cfg_user, logger) -> bool:
     if "steps_per_call" in tpu and not is_positive_integer(
             tpu.steps_per_call, "steps_per_call", logger):
         error = True
+    if "dcn_slices" in tpu and not is_positive_integer(
+            tpu.dcn_slices, "dcn_slices", logger):
+        error = True
     for key in ("mesh_axis", "profile_dir"):
         if key in tpu and not is_string(tpu[key], key, logger):
             error = True

@@ -95,14 +95,15 @@ def _make_scene_fn(config: UNetConfig, spec: BatchSpec, shape, dsm_std,
         if use_pallas:
             out = crop_scene(out)
         if axis_name is not None:
-            out = jax.lax.psum(out, axis_name)
+            out = jax.lax.psum(out, axis_name)  # tuple for multi-axis meshes
         return out
 
     if mesh is not None:
+        axes = tuple(mesh.axis_names)  # 1-D ICI or 2-D DCN x ICI uniformly
         scene_fn = jax.shard_map(
             scene_fn, mesh=mesh,
-            in_specs=(P(), P(), P(), P(None, axis_name), P(None, axis_name),
-                      P(None, axis_name), P(None, axis_name)),
+            in_specs=(P(), P(), P(), P(None, axes), P(None, axes),
+                      P(None, axes), P(None, axes)),
             out_specs=P(), check_vma=False)
     return jax.jit(scene_fn)
 
@@ -136,9 +137,11 @@ def _predict_tiles(config, params, bn_state, rasters, positions, pair_idx,
     wy = _pad_round_up(wy, n_padded, 0.0)   # zero weights: padding adds nothing
     wx = _pad_round_up(wx, n_padded, 0.0)
 
+    del axis_name  # collective axes derive from the mesh itself
     scene_fn = _make_scene_fn(config, spec, tuple(shape), float(dsm_std),
-                              compute_dtype,
-                              mesh, axis_name if mesh is not None else None,
+                              compute_dtype, mesh,
+                              tuple(mesh.axis_names) if mesh is not None
+                              else None,
                               use_pallas)
     out = scene_fn(params, bn_state, rasters,
                    positions.reshape(n_steps, per_step, 2),

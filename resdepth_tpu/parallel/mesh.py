@@ -15,6 +15,7 @@ import jax
 from jax.sharding import Mesh
 
 DATA_AXIS = "data"
+DCN_AXIS = "dcn"
 
 
 def device_count() -> int:
@@ -27,6 +28,22 @@ def data_mesh(n_devices: int | None = None, axis_name: str = DATA_AXIS) -> Mesh:
     if n_devices is not None:
         devices = devices[:n_devices]
     return jax.make_mesh((len(devices),), (axis_name,), devices=devices)
+
+
+def data_mesh_2d(n_slices: int, n_devices: int | None = None,
+                 axis_name: str = DATA_AXIS, slice_axis: str = DCN_AXIS) -> Mesh:
+    """2-D (slices x per-slice) mesh: the outer axis maps onto DCN when the
+    devices span multiple slices, the inner axis onto ICI. The train/infer
+    steps shard batches over BOTH axes and reduce over both, so multi-slice
+    is purely this mesh shape (SURVEY.md §2b / docs/SCALING.md)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if n % n_slices != 0:
+        raise ValueError(f"{n} devices not divisible into {n_slices} slices")
+    return jax.make_mesh((n_slices, n // n_slices), (slice_axis, axis_name),
+                         devices=devices)
 
 
 def pad_to_multiple(n: int, multiple: int) -> int:

@@ -48,10 +48,19 @@ def init_train_state(params, bn_state, tx, lr: float) -> TrainState:
                       step=jnp.asarray(0, jnp.int32))
 
 
-def _sharded(fn, mesh, axis_name, batch_axis=0):
-    """shard_map wrapper: replicated state/rasters, batch axis sharded,
-    replicated (state, metric) outputs — psums inside keep them consistent."""
-    batch_spec = P(axis_name) if batch_axis == 0 else P(None, axis_name)
+def _mesh_axes(mesh):
+    """Collective axes of a mesh: every mesh axis (1-D ICI or 2-D DCN x ICI —
+    a multi-slice mesh just adds an axis; the tuple form works uniformly in
+    psum/pmean/axis_index and PartitionSpec)."""
+    return tuple(mesh.axis_names)
+
+
+def _sharded(fn, mesh, batch_axis=0):
+    """shard_map wrapper: replicated state/rasters, batch axis sharded over
+    ALL mesh axes, replicated (state, metric) outputs — psums inside keep
+    them consistent."""
+    axes = _mesh_axes(mesh)
+    batch_spec = P(axes) if batch_axis == 0 else P(None, axes)
     in_specs = (P(), P()) + (batch_spec,) * 4 + (P(),)
     return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
                          out_specs=(P(), P()), check_vma=False)
@@ -78,6 +87,11 @@ def make_train_step(config: UNetConfig, spec: BatchSpec, tx, mesh=None,
     (no zero-weight padding), where the two are numerically identical;
     it saves the extra weighted-moment elementwise passes.
 
+    Under a mesh, batches shard over EVERY mesh axis and gradients/BN
+    statistics reduce over all of them — a 2-D (DCN x ICI) multi-slice mesh
+    needs no step changes (``axis_name`` is ignored in favour of the mesh's
+    own axis names).
+
     ``steps_per_call > 1`` runs that many optimizer steps inside ONE jitted
     program via ``lax.scan`` (batch arrays gain a leading steps dimension and
     ``metric`` becomes a (steps,) vector). This amortises host dispatch
@@ -85,7 +99,7 @@ def make_train_step(config: UNetConfig, spec: BatchSpec, tx, mesh=None,
     whenever per-step device time is small relative to host/interconnect
     round-trips.
     """
-    axis = axis_name if mesh is not None else None
+    axis = _mesh_axes(mesh) if mesh is not None else None
 
     def step_fn(state: TrainState, rasters: DeviceRasters, positions,
                 pair_indices, bounds, weights, rng):
@@ -135,7 +149,7 @@ def make_train_step(config: UNetConfig, spec: BatchSpec, tx, mesh=None,
                                 (positions, pair_indices, bounds, weights))
 
     if mesh is not None:
-        step_fn = _sharded(step_fn, mesh, axis_name,
+        step_fn = _sharded(step_fn, mesh,
                            batch_axis=1 if steps_per_call > 1 else 0)
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
@@ -150,7 +164,7 @@ def make_eval_step(config: UNetConfig, spec: BatchSpec, mesh=None,
     and the valid-pixel count, for host-side per-batch averaging (parity with
     the reference's per-batch AverageMeter, lib/Trainer.py:224-226).
     """
-    axis = axis_name if mesh is not None else None
+    axis = _mesh_axes(mesh) if mesh is not None else None
 
     def eval_fn(params, bn_state, rasters, positions, pair_indices, bounds,
                 weights, rng):
@@ -167,7 +181,8 @@ def make_eval_step(config: UNetConfig, spec: BatchSpec, mesh=None,
         return num, den
 
     if mesh is not None:
-        in_specs = (P(), P(), P()) + (P(axis_name),) * 4 + (P(),)
+        axes = _mesh_axes(mesh)
+        in_specs = (P(), P(), P()) + (P(axes),) * 4 + (P(),)
         eval_fn = jax.shard_map(eval_fn, mesh=mesh, in_specs=in_specs,
                                 out_specs=(P(), P()), check_vma=False)
     return jax.jit(eval_fn)

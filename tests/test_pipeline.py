@@ -341,3 +341,32 @@ def test_augmentation_uniform_over_dihedral_group():
         counts[tuple(out.ravel().tolist())] += 1
     assert len(counts) == 8
     assert min(counts.values()) / 800 > 0.07
+
+
+def test_two_d_mesh_inference_equivalence(make_geotiff):
+    """Tile-sharded full-scene inference over a 2-D (dcn x ici) mesh ==
+    single-device scene (partial canvases psum over both axes)."""
+    import jax
+
+    from resdepth_tpu.infer.tiled import predict_linear_blend
+    from resdepth_tpu.models.unet import UNetConfig, init_unet
+    from resdepth_tpu.parallel.mesh import data_mesh_2d
+
+    paths, dsm, gt, images = _scene(make_geotiff)
+    entry = {
+        "raster_in": paths["raster_in"], "raster_gt": paths["raster_gt"],
+        "image_list": paths["image_list"], "image_pairs": [(0, 1)],
+        "area_defn": {"x_extent": [(0, 79)], "y_extent": [(0, 63)]},
+    }
+    ds = TileDataset(entry, input_channels="geom-stereo", tile_size=16,
+                     sampling_strategy="test", dsm_std=5.0, ortho_mean=120.0,
+                     ortho_std=25.0)
+    config = UNetConfig(n_input_channels=3, start_kernel=4, max_filter_depth=8,
+                        depth=2)
+    params, bn = init_unet(jax.random.PRNGKey(0), config)
+
+    single = predict_linear_blend(config, params, bn, ds, batch_size=2,
+                                  mesh=None, use_pallas=False)
+    sharded = predict_linear_blend(config, params, bn, ds, batch_size=2,
+                                   mesh=data_mesh_2d(2, 8), use_pallas=False)
+    np.testing.assert_allclose(sharded, single, rtol=0, atol=1e-3)

@@ -496,3 +496,38 @@ def test_async_checkpointer_roundtrip(tmp_path):
             params=state.params, bn_state=state.bn_state)
     with pytest.raises(Exception):
         cp.wait()
+
+
+def test_two_d_mesh_equivalence():
+    """2-D (dcn x ici) mesh training == single-device training: batches shard
+    over BOTH axes; gradients/BN statistics reduce over both (multi-slice
+    scaffolding — docs/SCALING.md; tested as 2x4 over 8 virtual devices)."""
+    from resdepth_tpu.parallel.mesh import data_mesh_2d
+
+    config, spec, rasters, positions, pair_idx, bounds, weights = _toy_setup(batch=8)
+    tx = build_optimizer("Adam", 1e-5)
+    key = jax.random.PRNGKey(1)
+
+    def run(mesh, steps=3):
+        params, bn = init_unet(jax.random.PRNGKey(0), config)
+        state = init_train_state(params, bn, tx, 1e-3)
+        step = make_train_step(config, spec, tx, mesh=mesh, donate=False)
+        metrics = []
+        for _ in range(steps):
+            state, metric = step(state, rasters, positions, pair_idx, bounds,
+                                 weights, key)
+            metrics.append(float(metric))
+        return state, metrics
+
+    state_1, metrics_1 = run(None)
+    state_24, metrics_24 = run(data_mesh_2d(2, 8))
+
+    np.testing.assert_allclose(metrics_1, metrics_24, rtol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(state_1.params),
+                    jax.tree_util.tree_leaves(state_24.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state_1.bn_state),
+                    jax.tree_util.tree_leaves(state_24.bn_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-5)

@@ -48,7 +48,8 @@ parser = ArgumentParser(description="ResDepth-TPU: train a residual DSM "
 parser.add_argument("config_file", type=str, help="JSON configuration file")
 
 
-def _choose_mesh(batch_size: int, want_parallel: bool, axis_name: str):
+def _choose_mesh(batch_size: int, want_parallel: bool, axis_name: str,
+                 dcn_slices: int = 1):
     """Mesh over ALL available devices, plus the emitted (padded) batch size.
 
     Batches whose size does not divide the device count are padded to the
@@ -56,12 +57,18 @@ def _choose_mesh(batch_size: int, want_parallel: bool, axis_name: str):
     and BatchNorm statistics — data/pipeline.py::BatchIndexIterator), so the
     whole slice is always used and the optimisation trajectory is
     numerically that of the configured batch size.
+
+    ``dcn_slices > 1`` arranges the devices as a 2-D (dcn, ici) mesh; the
+    steps shard and reduce over both axes (multi-slice = this config knob).
     """
     import jax
-    from resdepth_tpu.parallel.mesh import data_mesh, pad_to_multiple
+    from resdepth_tpu.parallel.mesh import (data_mesh, data_mesh_2d,
+                                            pad_to_multiple)
 
     n_use = len(jax.devices()) if want_parallel else 1
     emit_size = pad_to_multiple(batch_size, n_use)
+    if dcn_slices > 1:
+        return data_mesh_2d(dcn_slices, n_use, axis_name), emit_size
     return data_mesh(n_use, axis_name), emit_size
 
 
@@ -300,7 +307,8 @@ def main() -> None:
     # -------------------------------- steps -------------------------------- #
     batch_size = cfg.training_settings.batch_size
     mesh, emit_size = _choose_mesh(batch_size, cfg.tpu.data_parallel,
-                                   cfg.tpu.mesh_axis)
+                                   cfg.tpu.mesh_axis,
+                                   cfg.tpu.get("dcn_slices", 1))
     logger.info(f"Data-parallel mesh: {mesh.shape}"
                 + (f" (batch {batch_size} zero-weight-padded to {emit_size})"
                    if emit_size != batch_size else ""))
