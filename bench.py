@@ -200,7 +200,7 @@ def main() -> None:
     except Exception as exc:
         log(f"[tpu/train] skipped: {exc}")
         train_sps = None
-    torch_cpu = bench_torch_cpu()  # env default (reference-faithful)
+    torch_cpu = bench_torch_cpu(1)  # explicit single-thread baseline
     n_cores = os.cpu_count() or 1
     if n_cores > 1:
         try:
@@ -226,8 +226,8 @@ def main() -> None:
     # (bf16 conv stack, f32 height path) measured 0.87 cm mean deviation on
     # trained weights — inside the <=1 cm budget — at ~2.3x; it is the
     # recommended serving mode but the headline stays the conservative
-    # bit-parity path. vs_baseline uses the reference-faithful single-thread
-    # torch number; the multi-threaded number is on stderr (VERDICT r1).
+    # bit-parity path. vs_baseline uses the explicit 1-thread torch number;
+    # the all-core number is on stderr (VERDICT r1).
     print(json.dumps({
         "metric": "tile_throughput_256px_stereo_unet_f32",
         "value": round(tpu_f32, 2),

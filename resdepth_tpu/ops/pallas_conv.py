@@ -85,15 +85,15 @@ def _pick_block_rows(h, w, c_in, c_out, dtype_bytes):
     (x2 for the pipeline's double buffering of every block)."""
     budget = 10 * 1024 * 1024
     weights = 9 * c_in * c_out * dtype_bytes + 2 * c_out * 4
-    bh = h
-    while bh > 8:
+    divisors = sorted((d for d in range(1, h + 1) if h % d == 0),
+                      reverse=True)
+    for bh in divisors:
         views = 3 * 2 * bh * (w + 2) * c_in * dtype_bytes
         out = 2 * bh * w * c_out * dtype_bytes
         acc = bh * w * c_out * 4
         if weights + views + out + acc <= budget:
-            break
-        bh //= 2
-    return max(bh, min(8, h))
+            return bh
+    return divisors[-1]  # 1 always divides
 
 
 @functools.partial(jax.jit,

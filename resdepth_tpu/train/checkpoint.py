@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import io
 import json
+import os as _os
 
 import jax
 import numpy as np
@@ -51,8 +52,12 @@ def save_checkpoint(path: str, *, epoch: int, params, bn_state, opt_state=None,
 
     buffer = io.BytesIO()
     np.savez(buffer, **arrays)
-    with open(path, "wb") as f:
+    # Write-to-temp + atomic rename: a crash mid-write never truncates an
+    # existing good checkpoint (matters doubly for the async writer).
+    tmp_path = f"{path}.tmp"
+    with open(tmp_path, "wb") as f:
         f.write(buffer.getvalue())
+    _os.replace(tmp_path, path)
 
 
 def load_checkpoint(path: str, *, params_template=None, bn_template=None,
@@ -118,7 +123,9 @@ class AsyncCheckpointer:
             except Exception as exc:  # surfaced on the next wait()/save()
                 self._error = exc
 
-        self._thread = threading.Thread(target=work, daemon=True,
+        # Non-daemon: interpreter exit joins the writer instead of killing
+        # it mid-write (save_checkpoint itself is atomic via temp+rename).
+        self._thread = threading.Thread(target=work, daemon=False,
                                         name="ckpt-writer")
         self._thread.start()
 

@@ -1,0 +1,22 @@
+"""Hermetic host-CPU backend environment for subprocesses.
+
+The container sitecustomize pins every Python process to the tunneled TPU
+plugin (registered when PALLAS_AXON_POOL_IPS is set). Subprocesses that need
+a clean N-virtual-device CPU backend (multichip dry runs, golden
+regeneration) share this env recipe.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def host_cpu_env(n_devices: int, base: dict | None = None) -> dict:
+    env = dict(os.environ if base is None else base)
+    env.pop("PALLAS_AXON_POOL_IPS", None)   # skip the TPU plugin registration
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_NUM_CPU_DEVICES"] = str(n_devices)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        f" --xla_force_host_platform_device_count={n_devices}"
+                        ).strip()
+    return env

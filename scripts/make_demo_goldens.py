@@ -25,13 +25,10 @@ GOLDEN_DIR = os.path.join(REPO, "tests", "goldens")
 
 
 def hermetic_env(n_devices: int = 8) -> dict:
-    env = dict(os.environ)
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["JAX_NUM_CPU_DEVICES"] = str(n_devices)
-    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
-                        f" --xla_force_host_platform_device_count={n_devices}"
-                        ).strip()
+    sys.path.insert(0, REPO)
+    from resdepth_tpu.utils.hermetic import host_cpu_env
+
+    env = host_cpu_env(n_devices)
     env["PYTHONPATH"] = REPO
     return env
 
@@ -73,8 +70,13 @@ def main() -> None:
         stats = outputs["statistics"]
         if not os.path.exists(pred):
             # artifact name derives from the input raster filename
+            pair_dir = os.path.dirname(pred)
             candidates = glob.glob(os.path.join(
-                os.path.dirname(pred), "*_prediction_test_area.tif"))
+                pair_dir, "*_prediction_test_area.tif"))
+            if not candidates:
+                raise FileNotFoundError(
+                    f"no refined-DSM artifact under {pair_dir}; contents: "
+                    f"{sorted(os.listdir(pair_dir)) if os.path.isdir(pair_dir) else 'missing dir'}")
             pred = candidates[0]
             stats = pred.replace(".tif", "_statistics.txt")
         shutil.copy(pred, os.path.join(GOLDEN_DIR, "demo_refined_dsm.tif"))

@@ -319,7 +319,11 @@ def main() -> None:
     train_spec = batch_spec_for(train_datasets[0])
     val_spec = batch_spec_for(val_datasets[0])
     import jax as _jax
-    precision = {"high": _jax.lax.Precision.HIGH,
+    # 'high' keeps the dtype-adaptive policy (models/unet.py::_precision:
+    # 3-pass HIGH for f32, native single-pass for bf16 compute) rather than
+    # forcing HIGH onto bf16 inputs, which would trigger a slow multi-pass
+    # upcast.
+    precision = {"high": None,
                  "default": _jax.lax.Precision.DEFAULT,
                  "highest": _jax.lax.Precision.HIGHEST}[
         cfg.tpu.get("train_precision", "high")]
