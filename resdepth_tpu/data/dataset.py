@@ -153,6 +153,17 @@ class TileDataset:
     def _determine_patches(self):
         n_pairs = len(self.image_pairs)
 
+        # Clear error instead of a raw device gather failure downstream.
+        for (y0, y1), (x0, x1) in zip(self.area_defn["y_extent"],
+                                      self.area_defn["x_extent"]):
+            region = (y1 - y0 + 1, x1 - x0 + 1)
+            if self.tile_size > min(region):
+                raise ValueError(
+                    f"tile_size {self.tile_size} exceeds a sampling region of "
+                    f"{region[0]}x{region[1]} px (area_defn {self.area_defn}). "
+                    "Reduce tile_size (inference: general.tile_size; "
+                    "training: training_settings.tile_size).")
+
         if self.sampling_strategy == "train":
             valid = grid_mod.indices_from_area_defn(self.area_defn, self.tile_size)
             if self.n_samples > len(valid):

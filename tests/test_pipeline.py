@@ -370,3 +370,18 @@ def test_two_d_mesh_inference_equivalence(make_geotiff):
     sharded = predict_linear_blend(config, params, bn, ds, batch_size=2,
                                    mesh=data_mesh_2d(2, 8), use_pallas=False)
     np.testing.assert_allclose(sharded, single, rtol=0, atol=1e-3)
+
+
+def test_tile_size_exceeding_region_raises_clearly(make_geotiff):
+    """A tile larger than the sampling region fails at dataset construction
+    with an actionable message, not a raw device gather error."""
+    paths, dsm, gt, images = _scene(make_geotiff)
+    entry = {
+        "raster_in": paths["raster_in"], "raster_gt": paths["raster_gt"],
+        "image_list": paths["image_list"], "image_pairs": [(0, 1)],
+        "area_defn": {"x_extent": [(0, 79)], "y_extent": [(0, 63)]},
+    }
+    with pytest.raises(ValueError, match="tile_size 256 exceeds"):
+        TileDataset(entry, input_channels="geom-stereo", tile_size=256,
+                    sampling_strategy="test", dsm_std=5.0, ortho_mean=120.0,
+                    ortho_std=25.0)
