@@ -214,9 +214,10 @@ def main() -> None:
         log(f"[torch-cpu] single-core machine; 1-thread == all-core baseline")
         torch_cpu_mt = torch_cpu
 
-    parts = [f"f32 (parity path): {tpu_f32:.0f} tiles/sec "
-             f"({tpu_f32 / torch_cpu:.0f}x torch-cpu-1t, "
-             f"{tpu_f32 / torch_cpu_mt:.0f}x torch-cpu-{n_cores}t)"]
+    ratio = f"({tpu_f32 / torch_cpu:.0f}x torch-cpu-1t"
+    if n_cores > 1:
+        ratio += f", {tpu_f32 / torch_cpu_mt:.0f}x torch-cpu-{n_cores}t"
+    parts = [f"f32 (parity path): {tpu_f32:.0f} tiles/sec {ratio})"]
     for mode, val in tpu_aux.items():
         parts.append(f"{mode}: {val:.0f} tiles/sec")
     if train_sps:
