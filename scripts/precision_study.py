@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Serving-precision deviation study on TRAINED weights.
+
+Trains the flagship geom-stereo UNet briefly on a synthetic city scene, then
+refines the full scene at every serving precision (f32-HIGH parity path,
+bfloat16, mixed) and reports each mode's deviation from f32 plus its
+measured batch-128 tile throughput. This is the reproducible form of the
+BASELINE.md "mixed-precision serving study": the qualifying rule is mean
+deviation <= 1 cm (the BASELINE.json accuracy budget) for a mode to be
+eligible as the bench headline.
+
+Usage:  python scripts/precision_study.py [--steps 400] [--rows 512] [--cols 768]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--rows", type=int, default=512)
+    ap.add_argument("--cols", type=int, default=768)
+    ap.add_argument("--batch", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from resdepth_tpu.data.dataset import TileDataset
+    from resdepth_tpu.data.pipeline import batch_spec_for, device_put_dataset
+    from resdepth_tpu.geo import tiff
+    from resdepth_tpu.geo.allocation import entire_area_defn
+    from resdepth_tpu.infer.tiled import predict_linear_blend
+    from resdepth_tpu.models.unet import flagship_config, init_unet
+    from resdepth_tpu.train.optim import build_optimizer
+    from resdepth_tpu.train.step import init_train_state, make_train_step
+    from scripts.make_demo_data import hillshade, synth_city
+
+    rows, cols = args.rows, args.cols
+    gt, dsm_in, building, water = synth_city(rows, cols, seed=3)
+    views = np.stack([hillshade(gt, az) for az in (315.0, 135.0, 45.0)], -1)
+    rng = np.random.default_rng(3)
+
+    tmp = tempfile.mkdtemp(prefix="precision_study_")
+    geotransform = (1000.0, 0.25, 0.0, 2000.0, 0.0, -0.25)
+
+    def write(name, data):
+        path = os.path.join(tmp, name)
+        tiff.write(path, data, geotransform=geotransform, nodata=-9999.0)
+        return path
+
+    p_in = write("dsm.tif", dsm_in)
+    write("gt.tif", gt)
+    view_paths = [write(f"ortho_{j}.tif", views[..., j]) for j in range(3)]
+
+    dataset = {
+        "name": "study",
+        "raster_in": p_in,
+        "raster_gt": os.path.join(tmp, "gt.tif"),
+        "image_list": view_paths,
+        "image_pairs": [(0, 1), (1, 2)],
+        "area_defn": entire_area_defn(p_in),
+        "n_samples": 4000,
+    }
+    sigma = float(np.std(dsm_in - dsm_in.mean()))
+
+    train_ds = TileDataset(dataset, "geom-stereo", 256, "train",
+                           dsm_std=sigma, ortho_mean=float(views.mean()),
+                           ortho_std=float(views.std()),
+                           use_all_stereo_pairs=True, augment=True, seed=0)
+
+    config = flagship_config("geom-stereo")
+    params, bn = init_unet(jax.random.PRNGKey(0), config)
+    tx = build_optimizer("Adam", 1e-5)
+    state = init_train_state(params, bn, tx, 2e-4)
+    spec = batch_spec_for(train_ds, transform_dsm=True, transform_orthos=True,
+                          augment=True)
+    K = 8
+    step = make_train_step(config, spec, tx, mesh=None, donate=True,
+                           steps_per_call=K,
+                           precision=jax.lax.Precision.DEFAULT)
+    rasters = device_put_dataset(train_ds)
+    key = jax.random.PRNGKey(0)
+    B = args.batch
+
+    n_calls = max(1, args.steps // K)
+    print(f"[train] {n_calls * K} steps, batch {B}, DEFAULT precision",
+          flush=True)
+    t0 = time.perf_counter()
+    first = last = None
+    for c in range(n_calls):
+        pos = np.stack([rng.integers(0, rows - 256, (K, B)),
+                        rng.integers(0, cols - 256, (K, B))], -1).astype(np.int32)
+        pidx = rng.integers(0, 2, (K, B)).astype(np.int32)
+        state, m = step(state, rasters, pos, pidx,
+                        np.zeros((K, B, 4), np.int32),
+                        np.ones((K, B), np.float32), key)
+        m = np.asarray(m)
+        if first is None:
+            first = float(m[0])
+        last = float(m[-1])
+    print(f"[train] MAE {first:.3f} -> {last:.3f} m "
+          f"({time.perf_counter() - t0:.0f}s)", flush=True)
+
+    test_ds = TileDataset(dict(dataset, image_pairs=[(0, 1)]), "geom-stereo",
+                          256, "test",
+                          dsm_std=sigma, ortho_mean=float(views.mean()),
+                          ortho_std=float(views.std()), seed=0)
+
+    outputs, rates = {}, {}
+    for mode in ("float32", "bfloat16", "mixed"):
+        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+                 "mixed": "mixed"}[mode]
+        pred = predict_linear_blend(config, state.params, state.bn_state,
+                                    test_ds, batch_size=128,
+                                    compute_dtype=dtype)
+        outputs[mode] = pred
+        rates[mode] = _bench_mode(config, state, mode)
+
+    valid = gt != -9999.0
+    mae_in = float(np.abs(dsm_in - gt)[valid].mean())
+    mae_f32 = float(np.abs(outputs["float32"] - gt)[valid].mean())
+    print(f"\n[accuracy] input MAE {mae_in:.3f} m -> refined (f32) "
+          f"{mae_f32:.3f} m over {rows}x{cols}")
+    print(f"\n{'mode':10s} {'mean dev':>10s} {'p99':>10s} {'max':>10s} "
+          f"{'tiles/s@128':>12s}  verdict")
+    for mode in ("bfloat16", "mixed"):
+        d = np.abs(outputs[mode] - outputs["float32"])[valid]
+        mean, p99, dmax = d.mean() * 100, np.percentile(d, 99) * 100, d.max() * 100
+        verdict = "INSIDE <=1cm budget" if mean <= 1.0 else "outside budget"
+        print(f"{mode:10s} {mean:9.3f}cm {p99:9.2f}cm {dmax:9.1f}cm "
+              f"{rates[mode]:12.0f}  {verdict}")
+    print(f"{'float32':10s} {'—':>10s} {'—':>10s} {'—':>10s} "
+          f"{rates['float32']:12.0f}  parity path")
+
+
+def _bench_mode(config, state, mode: str) -> float:
+    """Batch-128 forward throughput for one serving mode (folded BN)."""
+    import jax
+    import jax.numpy as jnp
+
+    from resdepth_tpu.models.unet import apply_unet, fold_batchnorm
+
+    fcfg, fparams, fstate = fold_batchnorm(config, state.params, state.bn_state)
+    B, iters = 128, 8
+
+    @jax.jit
+    def chain(p, s, x):
+        def body(i, carry):
+            if mode == "mixed":
+                y, _ = apply_unet(fcfg, p, s, carry, train=False,
+                                  mixed_precision=True)
+            else:
+                dt = jnp.bfloat16 if mode == "bfloat16" else jnp.float32
+                y, _ = apply_unet(fcfg, p, s, carry.astype(dt), train=False)
+            return carry.at[..., 0:1].add(y.astype(jnp.float32) * 1e-9)
+        return jax.lax.fori_loop(0, iters, body, x).sum()
+
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(B, 256, 256, fcfg.n_input_channels)).astype(np.float32))
+    assert np.isfinite(float(chain(fparams, fstate, x)))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        assert np.isfinite(float(chain(fparams, fstate, x)))
+        best = min(best, time.perf_counter() - t0)
+    return B * iters / best
+
+
+if __name__ == "__main__":
+    main()

@@ -308,3 +308,23 @@ def test_mixed_precision_close_to_f32():
     y0, _ = junet.apply_unet(config, zero_params, state, x_nhwc, train=False,
                              mixed_precision=True)
     np.testing.assert_allclose(np.asarray(y0[..., 0]), x[:, 0], atol=2e-6)
+
+
+def test_upconv_dilated_lowering_matches_block_matmul():
+    """The transposed-conv lowering (input-dilated conv of the flipped
+    kernel) must equal the definitional per-pixel 2x2-block expansion:
+    out[2i+di, 2j+dj, o] = sum_c x[i, j, c] * W[di, dj, c, o] + b[o]."""
+    rng = jax.random.PRNGKey(42)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    n, h, w, cin, cout = 2, 5, 7, 8, 6
+    x = jax.random.normal(k1, (n, h, w, cin), jnp.float32)
+    up = {"kernel": jax.random.normal(k2, (2, 2, cin, cout), jnp.float32),
+          "bias": jax.random.normal(k3, (cout,), jnp.float32)}
+
+    got = junet._upconv(x, up, "transpose")
+
+    blocks = jnp.einsum("nhwc,dkco->nhwdko", x, up["kernel"])
+    expected = (blocks.transpose(0, 1, 3, 2, 4, 5)
+                .reshape(n, 2 * h, 2 * w, cout) + up["bias"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-5, atol=1e-5)
