@@ -6,10 +6,10 @@ Re-implements the exact topology of the reference network
   * layout is NHWC end-to-end (TPU-native; the reference uses NCHW),
   * parameters/state are explicit pytrees (no module objects), so the model
     composes directly with jit / grad / shard_map,
-  * the 2x2-stride-2 transposed convolution is implemented as a 1x1 matmul to
-    4x channels followed by depth-to-space — mathematically identical to
-    ConvTranspose2d(k=2, s=2) but lowered as a single MXU matmul instead of a
-    scatter-style transposed conv,
+  * the 2x2-stride-2 transposed convolution is lowered as an input-dilated
+    convolution of the spatially-flipped kernel — mathematically identical to
+    ConvTranspose2d(k=2, s=2) (one kernel tap per output pixel) but taking
+    XLA:TPU's native conv path, with no depth-to-space interleave copies,
   * BatchNorm supports cross-replica statistics via an optional mesh axis
     name (``jax.lax.pmean``) so data-parallel training matches single-device
     BatchNorm semantics.
