@@ -125,11 +125,13 @@ def bench_torch_cpu(n_threads: int | None = None) -> float:
     return tiles_per_sec
 
 
-def bench_train_step() -> float | None:
+def bench_train_step(mode: str = "high") -> float | None:
     """Fused train-step throughput (samples/sec/chip) at the reference batch.
 
-    Round-over-round training regressions show up in BENCH_r* through this
-    stderr line (headline JSON metric unchanged)."""
+    ``mode``: 'high' (f32 parity default) or 'bf16' (tpu.compute_dtype
+    bfloat16 — bf16 activation storage, fastest supported training mode).
+    Round-over-round training regressions show up in BENCH_r* through these
+    stderr lines (headline JSON metric unchanged)."""
     import jax
 
     from resdepth_tpu.data.pipeline import BatchSpec, DeviceRasters
@@ -155,7 +157,9 @@ def bench_train_step() -> float | None:
     params, bn = init_unet(jax.random.PRNGKey(0), config)
     state = init_train_state(params, bn, tx, 2e-4)
     step = make_train_step(config, spec, tx, mesh=None, donate=True,
-                           steps_per_call=K)
+                           steps_per_call=K,
+                           compute_dtype=(jnp.bfloat16 if mode == "bf16"
+                                          else jnp.float32))
     key = jax.random.PRNGKey(0)
 
     def window(state):
@@ -177,8 +181,9 @@ def bench_train_step() -> float | None:
         state, dt = window(state)  # state is donated: thread it through
         times.append(dt)
     sps = K * B / min(times)
-    log(f"[tpu/train] {sps:.0f} samples/sec/chip "
-        f"(batch {B}, {K}-step program, f32-HIGH; compile {compile_t:.0f}s)")
+    label = "f32-HIGH" if mode == "high" else "bf16 storage"
+    log(f"[tpu/train/{mode}] {sps:.0f} samples/sec/chip "
+        f"(batch {B}, {K}-step program, {label}; compile {compile_t:.0f}s)")
     return sps
 
 
@@ -196,10 +201,15 @@ def main() -> None:
         except Exception as exc:  # auxiliary modes never fail the bench
             log(f"[tpu/{mode}] skipped: {exc}")
     try:
-        train_sps = bench_train_step()
+        train_sps = bench_train_step("high")
     except Exception as exc:
         log(f"[tpu/train] skipped: {exc}")
         train_sps = None
+    try:
+        train_bf16_sps = bench_train_step("bf16")
+    except Exception as exc:
+        log(f"[tpu/train/bf16] skipped: {exc}")
+        train_bf16_sps = None
     torch_cpu = bench_torch_cpu(1)  # explicit single-thread baseline
     n_cores = os.cpu_count() or 1
     if n_cores > 1:
@@ -222,6 +232,8 @@ def main() -> None:
         parts.append(f"{mode}: {val:.0f} tiles/sec")
     if train_sps:
         parts.append(f"train: {train_sps:.0f} samples/sec")
+    if train_bf16_sps:
+        parts.append(f"train-bf16: {train_bf16_sps:.0f} samples/sec")
     log("[summary] " + "; ".join(parts))
     # Headline: the 'mixed' serving mode (bf16 conv stack, f32 height path)
     # — measured 0.869 cm mean deviation from f32 on trained weights, INSIDE
