@@ -28,6 +28,7 @@ Topology facts preserved for weight/output parity (SURVEY.md §3.3):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 
 import jax
@@ -305,29 +306,66 @@ def _max_pool_2x2(x):
         window_strides=(1, 2, 2, 1), padding="VALID")
 
 
-def _upconv(x, up_params, up_mode, precision=None):
-    """2x upsampling (lib/UNet.py:17-24).
+def _upconv2x2_fwd_impl(x, kernel, bias, precision):
+    k = kernel.astype(x.dtype)
+    out = jax.lax.conv_general_dilated(
+        x, k[::-1, ::-1], window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision, preferred_element_type=_preferred(x))
+    return (out + bias.astype(out.dtype)).astype(x.dtype)
 
-    'transpose' == ConvTranspose2d(k=2, s=2), computed as an input-dilated
-    convolution of the spatially-flipped kernel (the textbook transposed-conv
-    identity). With k=2, s=2 every output pixel receives exactly ONE kernel
-    tap, so this is mathematically identical to the per-pixel 2x2-block
-    matmul — but XLA:TPU lowers it as a native convolution, which avoids the
-    depth-to-space interleave copies a matmul+transpose formulation needs
-    (measured v5e, flagship batch 128: those copies were 18% of the forward
-    pass; this lowering is +20-26% whole-model throughput at every
-    precision).
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _upconv2x2(x, kernel, bias, precision):
+    """ConvTranspose2d(k=2, s=2) with hand-written gradients.
+
+    Forward: y[n, 2i+di, 2j+dj, o] = b[o] + sum_c x[n,i,j,c] * k[di,dj,c,o],
+    lowered as an input-dilated convolution of the spatially-flipped kernel.
+    With k=2, s=2 every output pixel receives exactly one kernel tap, so this
+    is the exact transposed conv — but on XLA:TPU's native conv path, with
+    no depth-to-space interleave copies (measured +20-26% whole-model
+    inference vs the round-1 matmul+d2s formulation).
+
+    The custom VJP exists because XLA's transpose of the lhs-dilated conv
+    materialises full spatial ``reverse`` ops on the cotangent (~6% of the
+    train step at the 256^2 level). Hand-written: dx is a plain stride-2
+    VALID conv of g with the (c, o)-transposed kernel; dk contracts the
+    batch axis via one conv (g as lhs with feature=N, x as rhs dilated by 2);
+    db is a sum. Grad-exact vs autodiff (tests/test_models.py); measured
+    +9% bf16 / +3% f32 train throughput on the v5e.
     """
+    return _upconv2x2_fwd_impl(x, kernel, bias, precision)
+
+
+def _upconv2x2_fwd(x, kernel, bias, precision):
+    return _upconv2x2_fwd_impl(x, kernel, bias, precision), (x, kernel)
+
+
+def _upconv2x2_bwd(precision, res, g):
+    x, kernel = res
+    k = kernel.astype(g.dtype)
+    dx = jax.lax.conv_general_dilated(
+        g, k.transpose(0, 1, 3, 2), window_strides=(2, 2), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
+        preferred_element_type=_preferred(g)).astype(x.dtype)
+    # lhs g (N,2H,2W,O): feature=N (contracted), batch=O; rhs x (N,H,W,C):
+    # I=N, O=C, spatially dilated by 2; out (2,2,C,O) accumulated in f32.
+    dk = jax.lax.conv_general_dilated(
+        g, x.astype(g.dtype), window_strides=(1, 1), padding="VALID",
+        rhs_dilation=(2, 2), dimension_numbers=("C01N", "I01O", "01CN"),
+        precision=precision, preferred_element_type=jnp.float32)
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
+    return dx, dk.astype(kernel.dtype), db.astype(kernel.dtype)
+
+
+_upconv2x2.defvjp(_upconv2x2_fwd, _upconv2x2_bwd)
+
+
+def _upconv(x, up_params, up_mode, precision=None):
+    """2x upsampling (lib/UNet.py:17-24); see ``_upconv2x2``."""
     if up_mode == "transpose":
-        kernel = up_params["kernel"].astype(x.dtype)  # (2, 2, in, out)
-        out = jax.lax.conv_general_dilated(
-            x, kernel[::-1, ::-1], window_strides=(1, 1),
-            padding=((1, 1), (1, 1)), lhs_dilation=(2, 2),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            precision=precision if precision is not None else _precision(x),
-            preferred_element_type=_preferred(x))
-        out = out + up_params["bias"].astype(out.dtype)
-        return out.astype(x.dtype)
+        return _upconv2x2(x, up_params["kernel"], up_params["bias"],
+                          precision if precision is not None else _precision(x))
     # bilinear: half-pixel-centred 2x resize (torch align_corners=False) + conv1x1
     n, h, w, c = x.shape
     up = jax.image.resize(x, (n, 2 * h, 2 * w, c), method="linear")

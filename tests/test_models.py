@@ -328,3 +328,24 @@ def test_upconv_dilated_lowering_matches_block_matmul():
                 .reshape(n, 2 * h, 2 * w, cout) + up["bias"])
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_upconv_custom_vjp_matches_autodiff():
+    """_upconv2x2's hand-written gradients must equal autodiff of the same
+    forward computation (dx/db exactly; dk up to f32 accumulation order)."""
+    P = jax.lax.Precision.HIGHEST
+    n, h, w, cin, cout = 3, 6, 5, 7, 4
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, h, w, cin), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, 2, cin, cout), jnp.float32)
+    b = jax.random.normal(jax.random.PRNGKey(2), (cout,), jnp.float32)
+    ct = jax.random.normal(jax.random.PRNGKey(3), (n, 2 * h, 2 * w, cout),
+                           jnp.float32)
+
+    y_ref, vjp_ref = jax.vjp(
+        lambda x, k, b: junet._upconv2x2_fwd_impl(x, k, b, P), x, k, b)
+    y_new, vjp_new = jax.vjp(
+        lambda x, k, b: junet._upconv2x2(x, k, b, P), x, k, b)
+    np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y_new))
+    for name, a, c in zip(("dx", "dk", "db"), vjp_ref(ct), vjp_new(ct)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
