@@ -70,7 +70,7 @@ def bench_tpu(compute_dtype_name: str = "float32") -> float:
         size=(BATCH, TILE, TILE, 3)).astype(np.float32))
 
     t0 = time.perf_counter()
-    assert np.isfinite(float(chain(params, bn_state, x)))
+    _check_finite(float(chain(params, bn_state, x)))
     log(f"[tpu/{compute_dtype_name}] compile+first-step: "
         f"{time.perf_counter() - t0:.1f}s on {jax.devices()[0].platform}")
 
@@ -84,9 +84,15 @@ def bench_tpu(compute_dtype_name: str = "float32") -> float:
     return tiles_per_sec
 
 
+def _check_finite(value: float) -> None:
+    # Plain raise, not assert: the timed calls must survive `python -O`.
+    if not np.isfinite(value):
+        raise RuntimeError(f"non-finite benchmark output: {value}")
+
+
 def _timed_window(chain, params, bn_state, x) -> float:
     t0 = time.perf_counter()
-    assert np.isfinite(float(chain(params, bn_state, x)))
+    _check_finite(float(chain(params, bn_state, x)))
     return time.perf_counter() - t0
 
 
@@ -172,7 +178,7 @@ def bench_train_step(mode: str = "high") -> float | None:
                         np.ones((K, B), np.float32), key)
         # Fetch a scalar: through the device relay, block_until_ready
         # returns early and under-reports (BASELINE.md measurement hygiene).
-        assert np.isfinite(float(np.asarray(m)[-1]))
+        _check_finite(float(np.asarray(m)[-1]))
         return state, time.perf_counter() - t0
 
     state, compile_t = window(state)
@@ -203,7 +209,7 @@ def main() -> None:
     try:
         train_sps = bench_train_step("high")
     except Exception as exc:
-        log(f"[tpu/train] skipped: {exc}")
+        log(f"[tpu/train/high] skipped: {exc}")
         train_sps = None
     try:
         train_bf16_sps = bench_train_step("bf16")

@@ -86,11 +86,13 @@ def default_cfg() -> AttrDict:
     cfg.tpu = AttrDict(
         compute_dtype="float32",
         train_precision="high",  # 'high' (f32 parity) | 'default' (bf16 MXU
-                                 # passes, +58% measured) | 'highest';
+                                 # passes, +65% measured: 463 vs 280
+                                 # samples/sec) | 'highest';
                                  # compute_dtype='bfloat16' additionally uses
                                  # bf16 activation storage: fastest training
-                                 # (2.4x 'high'), ~1% refined-MAE cost at
-                                 # equal steps (BASELINE.md round-2 re-study)
+                                 # (708 samples/sec, 2.5x 'high'), ~1%
+                                 # refined-MAE cost at equal steps
+                                 # (BASELINE.md round-2 re-study)
 
         data_parallel=True,
         mesh_axis="data",

@@ -22,7 +22,9 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))   # repo root: resdepth_tpu package
+sys.path.insert(0, _HERE)                    # sibling demo-scene helpers
 
 
 def main() -> None:
@@ -32,6 +34,8 @@ def main() -> None:
     ap.add_argument("--cols", type=int, default=768)
     ap.add_argument("--batch", type=int, default=20)
     args = ap.parse_args()
+    if args.rows <= 256 or args.cols <= 256:
+        ap.error("--rows/--cols must exceed the 256 px tile size")
 
     import jax
     import jax.numpy as jnp
@@ -44,7 +48,7 @@ def main() -> None:
     from resdepth_tpu.models.unet import flagship_config, init_unet
     from resdepth_tpu.train.optim import build_optimizer
     from resdepth_tpu.train.step import init_train_state, make_train_step
-    from scripts.make_demo_data import hillshade, synth_city
+    from make_demo_data import hillshade, synth_city
 
     rows, cols = args.rows, args.cols
     gt, dsm_in, building, water = synth_city(rows, cols, seed=3)
@@ -166,13 +170,19 @@ def _bench_mode(config, state, mode: str) -> float:
             return carry.at[..., 0:1].add(y.astype(jnp.float32) * 1e-9)
         return jax.lax.fori_loop(0, iters, body, x).sum()
 
+    def run_once() -> None:
+        # Plain raise, not assert: must survive `python -O`.
+        value = float(chain(fparams, fstate, x))
+        if not np.isfinite(value):
+            raise RuntimeError(f"non-finite benchmark output: {value}")
+
     x = jnp.asarray(np.random.default_rng(0).normal(
         size=(B, 256, 256, fcfg.n_input_channels)).astype(np.float32))
-    assert np.isfinite(float(chain(fparams, fstate, x)))
+    run_once()
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
-        assert np.isfinite(float(chain(fparams, fstate, x)))
+        run_once()
         best = min(best, time.perf_counter() - t0)
     return B * iters / best
 
