@@ -1,6 +1,7 @@
 """Config layer: defaults, merge, schema validation, dataset augmentation."""
 
 import logging
+import os
 
 import numpy as np
 import pytest
@@ -209,3 +210,19 @@ def test_validate_infer_use_pallas_modes(make_geotiff, tmp_path):
 
     assert check(True) and check(False) and check("fused")
     assert check("sideways") is False
+
+
+def test_compilation_cache_host_scoped(tmp_path):
+    # Cache entries must never be shared across hosts with different CPU
+    # features (XLA:CPU AOT results embed them; loading foreign entries can
+    # SIGILL). enable() scopes the directory by a host fingerprint.
+    from resdepth_tpu.utils import compilation_cache
+
+    d1 = compilation_cache.enable(str(tmp_path / "cc"))
+    d2 = compilation_cache.enable(str(tmp_path / "cc"))
+    assert d1 == d2
+    base, host = os.path.split(d1)
+    assert base == str(tmp_path / "cc")
+    assert host.startswith("host-") and len(host) == len("host-") + 10
+    assert os.path.isdir(d1)
+    assert compilation_cache.enable("off") is None
