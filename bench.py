@@ -39,17 +39,17 @@ def bench_tpu(compute_dtype_name: str = "float32") -> float:
     benchmark runs the iteration loop ON DEVICE (lax.fori_loop with a data
     dependency between iterations) and fetches one scalar. Inference-mode
     BatchNorm is folded into the conv weights, as the production inference
-    path does (models.unet.fold_batchnorm).
+    path does; so is the top upconv (models.unet.fold_serving).
     """
     import jax
     import jax.numpy as jnp
 
     from resdepth_tpu.models.unet import (apply_unet, flagship_config,
-                                          fold_batchnorm, init_unet)
+                                          fold_serving, init_unet)
 
     config = flagship_config("geom-stereo")
     params, bn_state = init_unet(jax.random.PRNGKey(0), config)
-    config, params, bn_state = fold_batchnorm(config, params, bn_state)
+    config, params, bn_state = fold_serving(config, params, bn_state)
     mixed = compute_dtype_name == "mixed"
     compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
 

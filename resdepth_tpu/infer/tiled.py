@@ -160,15 +160,17 @@ def predict_linear_blend(config: UNetConfig, params, bn_state, ds: TileDataset,
 
     ``ds`` must be a 'test'-strategy TileDataset (overlapping grid). Interface
     parity with lib/evaluation.py:460: same spatial extent as the initial DSM;
-    pixels outside the covered region remain 0. ``fold_bn`` folds eval-mode
-    BatchNorm into the conv weights (exact; saves elementwise HBM passes).
+    pixels outside the covered region remain 0. ``fold_bn`` applies the exact
+    serving-time rewrites (models.unet.fold_serving): eval-mode BatchNorm
+    folded into conv weights, and the top upconv composed into the final
+    conv.
     ``use_pallas``: False = XLA scatter-add, True = per-tile-program Pallas
     kernel, "fused" = single-program Pallas kernel with double-buffered tile
     DMA (ops/pallas_stitch.py); None = auto (True on TPU).
     """
-    if fold_bn and config.do_BN:
-        from resdepth_tpu.models.unet import fold_batchnorm
-        config, params, bn_state = fold_batchnorm(config, params, bn_state)
+    if fold_bn:
+        from resdepth_tpu.models.unet import fold_serving
+        config, params, bn_state = fold_serving(config, params, bn_state)
     if rasters is None:
         rasters = device_put_dataset(ds)
     rasters = dataclasses.replace(rasters, dsm_target=None)
@@ -203,9 +205,9 @@ def predict_linear_blend_streaming(config: UNetConfig, params, bn_state,
     (README.md:268) and round-trips each tile; this path bounds DEVICE memory
     while keeping the per-band compute fully fused.
     """
-    if fold_bn and config.do_BN:
-        from resdepth_tpu.models.unet import fold_batchnorm
-        config, params, bn_state = fold_batchnorm(config, params, bn_state)
+    if fold_bn:
+        from resdepth_tpu.models.unet import fold_serving
+        config, params, bn_state = fold_serving(config, params, bn_state)
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
 

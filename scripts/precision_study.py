@@ -153,9 +153,9 @@ def _bench_mode(config, state, mode: str) -> float:
     import jax
     import jax.numpy as jnp
 
-    from resdepth_tpu.models.unet import apply_unet, fold_batchnorm
+    from resdepth_tpu.models.unet import apply_unet, fold_serving
 
-    fcfg, fparams, fstate = fold_batchnorm(config, state.params, state.bn_state)
+    fcfg, fparams, fstate = fold_serving(config, state.params, state.bn_state)
     B, iters = 128, 8
 
     @jax.jit

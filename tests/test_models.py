@@ -349,3 +349,82 @@ def test_upconv_custom_vjp_matches_autodiff():
     for name, a, c in zip(("dx", "dk", "db"), vjp_ref(ct), vjp_new(ct)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=1e-5, atol=1e-5, err_msg=name)
+
+
+def _randomized_state(state, seed=7):
+    rng = np.random.default_rng(seed)
+    return jax.tree_util.tree_map(
+        lambda v: v + np.abs(rng.normal(size=v.shape)).astype(np.float32) * 0.1,
+        state)
+
+
+@pytest.mark.parametrize("overrides", [
+    {},
+    {"bias_conv_layer": True},
+    {"outer_skip": False},
+    {"outer_skip_BN": True},
+    {"do_BN": False, "bias_conv_layer": True},
+    {"depth": 2, "n_input_channels": 1},
+])
+def test_fold_top_decoder_exact(overrides):
+    """Composing the top upconv into the final conv is exact (reassociation
+    tolerance) across the config matrix, including non-square inputs."""
+    config = _small_config(**overrides)
+    params, state = junet.init_unet(jax.random.PRNGKey(11), config)
+    state = _randomized_state(state)
+    from resdepth_tpu.models.unet import fold_serving
+
+    fc, fp, fs = fold_serving(config, params, state)
+    assert "top_composed" in fp
+    assert fp["decoder"][-1] == {}
+
+    x = jnp.asarray(np.random.default_rng(3).normal(
+        size=(2, 32, 48, config.n_input_channels)).astype(np.float32))
+    ref, _ = junet.apply_unet(config, params, state, x, train=False)
+    out, _ = junet.apply_unet(fc, fp, fs, x, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fold_top_decoder_bilinear_noop():
+    """bilinear up_mode cannot be phase-composed: fold is a no-op."""
+    config = _small_config(up_mode="bilinear")
+    params, state = junet.init_unet(jax.random.PRNGKey(1), config)
+    from resdepth_tpu.models.unet import fold_top_decoder
+
+    fc, fp, fs = fold_top_decoder(config, params, state)
+    assert "top_composed" not in fp
+    assert "up" in fp["decoder"][-1]
+
+
+def test_fold_top_decoder_idempotent():
+    config = _small_config()
+    params, state = junet.init_unet(jax.random.PRNGKey(1), config)
+    from resdepth_tpu.models.unet import fold_serving, fold_top_decoder
+
+    fc, fp, fs = fold_serving(config, params, state)
+    fc2, fp2, fs2 = fold_top_decoder(fc, fp, fs)
+    assert fp2 is fp
+
+
+def test_fold_top_decoder_mixed_fidelity():
+    """Folded mixed-precision serving deviates from exact f32 no more than the
+    unfolded mixed path (the f32-weight-fidelity hi/lo split preserves the
+    absolute-height budget)."""
+    config = _small_config()
+    params, state = junet.init_unet(jax.random.PRNGKey(5), config)
+    state = _randomized_state(state)
+    from resdepth_tpu.models.unet import fold_serving
+
+    x = jnp.asarray(np.random.default_rng(9).normal(
+        size=(2, 32, 32, config.n_input_channels)).astype(np.float32))
+    exact, _ = junet.apply_unet(config, params, state, x, train=False)
+    mixed_ref, _ = junet.apply_unet(config, params, state, x, train=False,
+                                    mixed_precision=True)
+    fc, fp, fs = fold_serving(config, params, state)
+    mixed_fold, _ = junet.apply_unet(fc, fp, fs, x, train=False,
+                                     mixed_precision=True)
+    assert mixed_fold.dtype == jnp.float32
+    dev_ref = float(jnp.abs(mixed_ref - exact).max())
+    dev_fold = float(jnp.abs(mixed_fold - exact).max())
+    assert dev_fold <= dev_ref * 1.5 + 1e-4, (dev_fold, dev_ref)
