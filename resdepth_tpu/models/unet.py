@@ -411,9 +411,14 @@ def _composed_top(skip, d1, last, composed, mixed_precision, precision):
     if mixed_precision:
         # Mixed serving keeps the absolute-height path at f32 weight fidelity
         # (the f32 last conv is what buys the <=1 cm budget, BASELINE.md);
-        # activations stay bf16 on the wire.
+        # activations stay bf16 on the wire. Only the direct K3.skip term
+        # needs the hi/lo split: the d1 path went through the bf16 upconv
+        # weights in the uncomposed graph, so a single bf16 rounding of the
+        # composed kernel matches its original fidelity (validated on
+        # trained weights, scripts/precision_study.py).
         ys = _conv_hilo(skip, last["kernel"], prec)
-        yd = _conv_hilo(d1, composed["ck"], prec)
+        yd = _conv_same(d1, composed["ck"].astype(jnp.bfloat16), prec,
+                        jnp.float32)
         acc = jnp.float32
     else:
         dt = skip.dtype
