@@ -381,21 +381,6 @@ def _conv_same(x, kernel, precision, preferred):
         preferred_element_type=preferred)
 
 
-def _conv_hilo(x, kernel, precision):
-    """f32-weight-fidelity SAME conv on bf16 activations.
-
-    The kernel is split into bf16 hi + lo halves (k == hi + lo exactly in
-    f32); two single-pass MXU convs with f32 accumulation reproduce
-    f32-weight x bf16-activation products without upcasting the activation
-    traffic to f32.
-    """
-    k = kernel.astype(jnp.float32)
-    k_hi = k.astype(jnp.bfloat16)
-    k_lo = (k - k_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return (_conv_same(x, k_hi, precision, jnp.float32)
-            + _conv_same(x, k_lo, precision, jnp.float32))
-
-
 def _depth_to_space4(y):
     """(N, H, W, 4) phase channels (2*a + b) -> (N, 2H, 2W, 1)."""
     n, h, w, _ = y.shape
@@ -409,14 +394,15 @@ def _composed_top(skip, d1, last, composed, mixed_precision, precision):
     prec = precision if precision is not None else _precision(skip)
 
     if mixed_precision:
-        # Mixed serving keeps the absolute-height path at f32 weight fidelity
-        # (the f32 last conv is what buys the <=1 cm budget, BASELINE.md);
-        # activations stay bf16 on the wire. Only the direct K3.skip term
-        # needs the hi/lo split: the d1 path went through the bf16 upconv
-        # weights in the uncomposed graph, so a single bf16 rounding of the
-        # composed kernel matches its original fidelity (validated on
-        # trained weights, scripts/precision_study.py).
-        ys = _conv_hilo(skip, last["kernel"], prec)
+        # Mixed serving: bf16 kernels/activations on the wire, but the
+        # absolute-height path accumulates in f32 — f32 conv outputs here,
+        # f32 bias map, and the f32 outer skip in the caller. Trained-weights
+        # A/B (BASELINE.md continuation-2 study) showed f32-weight fidelity
+        # (hi/lo splits) on K3 and the composed kernel changes the deviation
+        # by <0.001 cm — the residual ~0.96 cm is trunk-accumulated — so the
+        # single-rounded bf16 kernels are used at full bf16 speed.
+        ys = _conv_same(skip, last["kernel"].astype(jnp.bfloat16), prec,
+                        jnp.float32)
         yd = _conv_same(d1, composed["ck"].astype(jnp.bfloat16), prec,
                         jnp.float32)
         acc = jnp.float32
