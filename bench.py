@@ -241,28 +241,20 @@ def main() -> None:
     if train_bf16_sps:
         parts.append(f"train-bf16: {train_bf16_sps:.0f} samples/sec")
     log("[summary] " + "; ".join(parts))
-    # Headline: the 'mixed' serving mode (bf16 conv stack, f32 height path)
-    # — measured 0.869 cm mean deviation from f32 on trained weights, INSIDE
-    # the <=1 cm accuracy budget (BASELINE.md round-2 study), at ~2.3x the
-    # f32 parity path. Per VERDICT r1 item 5 a qualifying serving mode is
-    # the headline; the exact-parity f32 number stays on stderr and is the
-    # fallback headline when the mixed bench was skipped. vs_baseline uses
-    # the explicit 1-thread torch number (all-core on stderr).
-    headline = tpu_aux.get("mixed")
-    if headline:
-        print(json.dumps({
-            "metric": "tile_throughput_256px_stereo_unet_mixed",
-            "value": round(headline, 2),
-            "unit": "tiles/sec/chip",
-            "vs_baseline": round(headline / torch_cpu, 2),
-        }))
-    else:
-        print(json.dumps({
-            "metric": "tile_throughput_256px_stereo_unet_f32",
-            "value": round(tpu_f32, 2),
-            "unit": "tiles/sec/chip",
-            "vs_baseline": round(tpu_f32 / torch_cpu, 2),
-        }))
+    # Headline: the f32-HIGH parity path — the only serving mode ROBUSTLY
+    # inside the <=1 cm accuracy budget (3e-5 deviation from exact f32).
+    # The round-2 multi-scene study (BASELINE.md continuation-2) showed the
+    # fast modes' trained-weights deviation is scene-dependent (mixed/bf16
+    # 0.96-1.24 cm across city seeds), i.e. AT the budget boundary, so the
+    # earlier mixed headline was revised back to f32. Fast-mode numbers stay
+    # on stderr. vs_baseline uses the explicit 1-thread torch number
+    # (all-core on stderr).
+    print(json.dumps({
+        "metric": "tile_throughput_256px_stereo_unet_f32",
+        "value": round(tpu_f32, 2),
+        "unit": "tiles/sec/chip",
+        "vs_baseline": round(tpu_f32 / torch_cpu, 2),
+    }))
 
 
 if __name__ == "__main__":

@@ -70,6 +70,16 @@ def _make_scene_fn(config: UNetConfig, spec: BatchSpec, shape, dsm_std,
             if compute_dtype == "mixed":
                 pred, _ = apply_unet(config, params, bn_state, batch["input"],
                                      train=False, mixed_precision=True)
+            elif compute_dtype in ("fast32", "act2pass"):
+                # fast32: f32 activations/storage, single-pass bf16 MXU
+                # multiplicands. act2pass: additionally split the ACTIVATION
+                # operand hi/lo (2 MXU passes; weights single-rounded) —
+                # activation rounding is the measured trunk error source.
+                prec = (jax.lax.Precision.DEFAULT if compute_dtype == "fast32"
+                        else (jax.lax.Precision.HIGH, jax.lax.Precision.DEFAULT))
+                pred, _ = apply_unet(config, params, bn_state,
+                                     batch["input"].astype(jnp.float32),
+                                     train=False, precision=prec)
             else:
                 x = batch["input"].astype(compute_dtype)
                 pred, _ = apply_unet(config, params, bn_state, x, train=False)

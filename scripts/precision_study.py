@@ -33,6 +33,13 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=512)
     ap.add_argument("--cols", type=int, default=768)
     ap.add_argument("--batch", type=int, default=20)
+    ap.add_argument("--scene-seed", type=int, default=3,
+                    help="synthetic-city seed; vary to check deviation-margin "
+                         "robustness across scenes")
+    ap.add_argument("--state-cache", default=None,
+                    help="checkpoint path: reuse trained weights if present, "
+                         "else train and save (same training is deterministic "
+                         "per scene seed)")
     args = ap.parse_args()
     if args.rows <= 256 or args.cols <= 256:
         ap.error("--rows/--cols must exceed the 256 px tile size")
@@ -51,9 +58,9 @@ def main() -> None:
     from make_demo_data import hillshade, synth_city
 
     rows, cols = args.rows, args.cols
-    gt, dsm_in, building, water = synth_city(rows, cols, seed=3)
+    gt, dsm_in, building, water = synth_city(rows, cols, seed=args.scene_seed)
     views = np.stack([hillshade(gt, az) for az in (315.0, 135.0, 45.0)], -1)
-    rng = np.random.default_rng(3)
+    rng = np.random.default_rng(args.scene_seed)
 
     tmp = tempfile.mkdtemp(prefix="precision_study_")
     geotransform = (1000.0, 0.25, 0.0, 2000.0, 0.0, -0.25)
@@ -97,24 +104,38 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
     B = args.batch
 
-    n_calls = max(1, args.steps // K)
-    print(f"[train] {n_calls * K} steps, batch {B}, DEFAULT precision",
-          flush=True)
-    t0 = time.perf_counter()
-    first = last = None
-    for c in range(n_calls):
-        pos = np.stack([rng.integers(0, rows - 256, (K, B)),
-                        rng.integers(0, cols - 256, (K, B))], -1).astype(np.int32)
-        pidx = rng.integers(0, 2, (K, B)).astype(np.int32)
-        state, m = step(state, rasters, pos, pidx,
-                        np.zeros((K, B, 4), np.int32),
-                        np.ones((K, B), np.float32), key)
-        m = np.asarray(m)
-        if first is None:
-            first = float(m[0])
-        last = float(m[-1])
-    print(f"[train] MAE {first:.3f} -> {last:.3f} m "
-          f"({time.perf_counter() - t0:.0f}s)", flush=True)
+    from resdepth_tpu.train import checkpoint as ckpt_io
+
+    if args.state_cache and os.path.exists(args.state_cache):
+        _, p_loaded, bn_loaded, _ = ckpt_io.load_checkpoint(
+            args.state_cache, params_template=state.params,
+            bn_template=state.bn_state)
+        state = state.replace(params=p_loaded, bn_state=bn_loaded)
+        print(f"[train] loaded cached trained state: {args.state_cache}",
+              flush=True)
+    else:
+        n_calls = max(1, args.steps // K)
+        print(f"[train] {n_calls * K} steps, batch {B}, DEFAULT precision",
+              flush=True)
+        t0 = time.perf_counter()
+        first = last = None
+        for c in range(n_calls):
+            pos = np.stack([rng.integers(0, rows - 256, (K, B)),
+                            rng.integers(0, cols - 256, (K, B))], -1).astype(np.int32)
+            pidx = rng.integers(0, 2, (K, B)).astype(np.int32)
+            state, m = step(state, rasters, pos, pidx,
+                            np.zeros((K, B, 4), np.int32),
+                            np.ones((K, B), np.float32), key)
+            m = np.asarray(m)
+            if first is None:
+                first = float(m[0])
+            last = float(m[-1])
+        print(f"[train] MAE {first:.3f} -> {last:.3f} m "
+              f"({time.perf_counter() - t0:.0f}s)", flush=True)
+        if args.state_cache:
+            ckpt_io.save_checkpoint(args.state_cache, epoch=0,
+                                    params=state.params, bn_state=state.bn_state)
+            print(f"[train] cached trained state: {args.state_cache}", flush=True)
 
     test_ds = TileDataset(dict(dataset, image_pairs=[(0, 1)]), "geom-stereo",
                           256, "test",
@@ -122,9 +143,10 @@ def main() -> None:
                           ortho_std=float(views.std()), seed=0)
 
     outputs, rates = {}, {}
-    for mode in ("float32", "bfloat16", "mixed"):
+    for mode in ("float32", "bfloat16", "mixed", "fast32", "act2pass"):
         dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
-                 "mixed": "mixed"}[mode]
+                 "mixed": "mixed", "fast32": "fast32",
+                 "act2pass": "act2pass"}[mode]
         pred = predict_linear_blend(config, state.params, state.bn_state,
                                     test_ds, batch_size=128,
                                     compute_dtype=dtype)
@@ -138,7 +160,7 @@ def main() -> None:
           f"{mae_f32:.3f} m over {rows}x{cols}")
     print(f"\n{'mode':10s} {'mean dev':>10s} {'p99':>10s} {'max':>10s} "
           f"{'tiles/s@128':>12s}  verdict")
-    for mode in ("bfloat16", "mixed"):
+    for mode in ("bfloat16", "mixed", "fast32", "act2pass"):
         d = np.abs(outputs[mode] - outputs["float32"])[valid]
         mean, p99, dmax = d.mean() * 100, np.percentile(d, 99) * 100, d.max() * 100
         verdict = "INSIDE <=1cm budget" if mean <= 1.0 else "outside budget"
@@ -164,6 +186,11 @@ def _bench_mode(config, state, mode: str) -> float:
             if mode == "mixed":
                 y, _ = apply_unet(fcfg, p, s, carry, train=False,
                                   mixed_precision=True)
+            elif mode in ("fast32", "act2pass"):
+                prec = (jax.lax.Precision.DEFAULT if mode == "fast32"
+                        else (jax.lax.Precision.HIGH, jax.lax.Precision.DEFAULT))
+                y, _ = apply_unet(fcfg, p, s, carry, train=False,
+                                  precision=prec)
             else:
                 dt = jnp.bfloat16 if mode == "bfloat16" else jnp.float32
                 y, _ = apply_unet(fcfg, p, s, carry.astype(dt), train=False)

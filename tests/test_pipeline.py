@@ -385,3 +385,25 @@ def test_tile_size_exceeding_region_raises_clearly(make_geotiff):
         TileDataset(entry, input_channels="geom-stereo", tile_size=256,
                     sampling_strategy="test", dsm_std=5.0, ortho_mean=120.0,
                     ortho_std=25.0)
+
+
+def test_predict_experimental_precision_modes(make_geotiff):
+    """fast32/act2pass (library-only compute_dtype strings) run and agree
+    with the f32 path within their documented deviation scale."""
+    paths, dsm, *_ = _scene(make_geotiff, rows=48, cols=48)
+    entry = {"raster_in": paths["raster_in"],
+             "area_defn": {"x_extent": [(0, 47)], "y_extent": [(0, 47)]}}
+    ds = TileDataset(entry, input_channels="geom", tile_size=16,
+                     sampling_strategy="test", dsm_std=5.0)
+    config = UNetConfig(n_input_channels=1, start_kernel=4, max_filter_depth=8,
+                        depth=2)
+    params, bn_state = init_unet(jax.random.PRNGKey(1), config)
+
+    ref = predict_linear_blend(config, params, bn_state, ds, batch_size=3)
+    for mode in ("fast32", "act2pass"):
+        out = predict_linear_blend(config, params, bn_state, ds, batch_size=3,
+                                   compute_dtype=mode)
+        # CPU executes every precision as exact f32, so agreement is tight
+        # there; on TPU these modes deviate at the documented cm scale.
+        assert np.isfinite(out).all()
+        np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.1)
