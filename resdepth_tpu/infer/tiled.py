@@ -177,6 +177,12 @@ def predict_linear_blend(config: UNetConfig, params, bn_state, ds: TileDataset,
     ``use_pallas``: False = XLA scatter-add, True = per-tile-program Pallas
     kernel, "fused" = single-program Pallas kernel with double-buffered tile
     DMA (ops/pallas_stitch.py); None = auto (True on TPU).
+
+    ``compute_dtype``: jnp.float32 (default, parity path) | jnp.bfloat16 |
+    "mixed" (bf16 conv stack, f32-accumulated height path) — the config
+    surface; plus the library-only diagnostic modes "fast32" (f32 storage,
+    1-pass bf16 MXU) and "act2pass" (f32 storage, activation operand at
+    HIGH) — deviation data in BASELINE.md's multi-scene study.
     """
     if fold_bn:
         from resdepth_tpu.models.unet import fold_serving

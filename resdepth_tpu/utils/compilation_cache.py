@@ -26,7 +26,8 @@ def _host_fingerprint() -> str:
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
+                # x86 spells it 'flags'; aarch64 spells it 'Features'.
+                if line.lower().startswith(("flags", "features")):
                     feats = line.split(":", 1)[1]
                     break
             else:

@@ -266,9 +266,11 @@ def main() -> None:
             "normalization_geom": "EDIT: <run_dir>/DSM_normalization_parameters.p",
             "normalization_image": "EDIT: <run_dir>/Image_normalization_parameters.p",
         },
-        # 'mixed' serving: bf16 conv stack, f32 height path — measured
-        # 0.87 cm mean deviation from f32 at ~2.3x throughput (BASELINE.md).
-        "general": {"tile_size": 128, "compute_dtype": "mixed"},
+        # Default f32-HIGH serving (the parity path; 3e-5 deviation). The
+        # ~2.4x-faster 'mixed'/'bfloat16' modes are opt-in: their deviation
+        # is scene-dependent at the 1 cm budget boundary (BASELINE.md
+        # multi-scene study).
+        "general": {"tile_size": 128},
         "output": {"directory": os.path.join(out_abs, "eval")},
     }
     with open(os.path.join(out_dir, "config_test.json"), "w") as f:

@@ -106,10 +106,17 @@ def main() -> None:
 
     from resdepth_tpu.train import checkpoint as ckpt_io
 
+    cache_key = {"scene_seed": args.scene_seed, "steps": args.steps,
+                 "rows": args.rows, "cols": args.cols, "batch": args.batch}
     if args.state_cache and os.path.exists(args.state_cache):
-        _, p_loaded, bn_loaded, _ = ckpt_io.load_checkpoint(
+        meta, p_loaded, bn_loaded, _ = ckpt_io.load_checkpoint(
             args.state_cache, params_template=state.params,
             bn_template=state.bn_state)
+        cached_key = meta.get("study_key")
+        if cached_key != cache_key:
+            sys.exit(f"ERROR: --state-cache {args.state_cache} was trained "
+                     f"with {cached_key}, not {cache_key} — refusing to mix "
+                     "scenes/protocols; delete the file or use another path.")
         state = state.replace(params=p_loaded, bn_state=bn_loaded)
         print(f"[train] loaded cached trained state: {args.state_cache}",
               flush=True)
@@ -134,7 +141,8 @@ def main() -> None:
               f"({time.perf_counter() - t0:.0f}s)", flush=True)
         if args.state_cache:
             ckpt_io.save_checkpoint(args.state_cache, epoch=0,
-                                    params=state.params, bn_state=state.bn_state)
+                                    params=state.params, bn_state=state.bn_state,
+                                    extra={"study_key": cache_key})
             print(f"[train] cached trained state: {args.state_cache}", flush=True)
 
     test_ds = TileDataset(dict(dataset, image_pairs=[(0, 1)]), "geom-stereo",

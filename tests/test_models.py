@@ -408,9 +408,10 @@ def test_fold_top_decoder_idempotent():
 
 
 def test_fold_top_decoder_mixed_fidelity():
-    """Folded mixed-precision serving deviates from exact f32 no more than the
-    unfolded mixed path (the f32-weight-fidelity hi/lo split preserves the
-    absolute-height budget)."""
+    """Folded mixed-precision serving deviates from exact f32 no more than
+    the unfolded mixed path (f32 ACCUMULATION in the composed top convs plus
+    the f32 bias map/outer skip; kernels are single-rounded bf16 — the
+    BASELINE.md A/B showed weight-fidelity splits change nothing)."""
     config = _small_config()
     params, state = junet.init_unet(jax.random.PRNGKey(5), config)
     state = _randomized_state(state)
