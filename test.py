@@ -119,7 +119,9 @@ def main() -> None:
     _dtype_name = cfg.general.get("compute_dtype")
     compute_dtype = {"bfloat16": jnp.bfloat16, "mixed": "mixed"}.get(
         _dtype_name, jnp.float32)
-    batch_size = cfg.general.get("batch_size", 64)
+    # 128 is the measured throughput knee on the v5e (BASELINE.md: +1.7%
+    # only at 256); small scenes are capped to their per-device tile share.
+    batch_size = cfg.general.get("batch_size", 128)
     use_pallas = cfg.general.get("use_pallas")  # None = auto by platform
     # Tile batches shard over every available chip; each device accumulates a
     # partial scene and one psum over ICI merges them (infer/tiled.py).
