@@ -51,6 +51,14 @@ def bench_tpu(compute_dtype_name: str = "float32") -> float:
     params, bn_state = init_unet(jax.random.PRNGKey(0), config)
     config, params, bn_state = fold_serving(config, params, bn_state)
     mixed = compute_dtype_name == "mixed"
+    # f32-storage serving modes (BASELINE.md study): single-pass bf16 MXU
+    # multiplicands, with 'balanced' running the two measured error-source
+    # convs (first + last) at 3-pass HIGH.
+    precision = (jax.lax.Precision.DEFAULT
+                 if compute_dtype_name in ("fast32", "balanced") else None)
+    layer_precisions = ({"encoder0": jax.lax.Precision.HIGH,
+                         "last": jax.lax.Precision.HIGH}
+                        if compute_dtype_name == "balanced" else None)
     compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
 
     @jax.jit
@@ -59,6 +67,10 @@ def bench_tpu(compute_dtype_name: str = "float32") -> float:
             if mixed:
                 y, _ = apply_unet(config, params, bn_state, carry,
                                   train=False, mixed_precision=True)
+            elif precision is not None:
+                y, _ = apply_unet(config, params, bn_state, carry,
+                                  train=False, precision=precision,
+                                  layer_precisions=layer_precisions)
             else:
                 y, _ = apply_unet(config, params, bn_state,
                                   carry.astype(compute_dtype), train=False)
@@ -199,6 +211,7 @@ def main() -> None:
     from resdepth_tpu.utils import compilation_cache
     compilation_cache.enable()  # repeat driver runs skip the slow compiles
 
+    tpu_balanced = bench_tpu("balanced")
     tpu_f32 = bench_tpu("float32")
     tpu_aux = {}
     for mode in ("bfloat16", "mixed"):
@@ -230,10 +243,11 @@ def main() -> None:
         log(f"[torch-cpu] single-core machine; 1-thread == all-core baseline")
         torch_cpu_mt = torch_cpu
 
-    ratio = f"({tpu_f32 / torch_cpu:.0f}x torch-cpu-1t"
+    ratio = f"({tpu_balanced / torch_cpu:.0f}x torch-cpu-1t"
     if n_cores > 1:
-        ratio += f", {tpu_f32 / torch_cpu_mt:.0f}x torch-cpu-{n_cores}t"
-    parts = [f"f32 (parity path): {tpu_f32:.0f} tiles/sec {ratio})"]
+        ratio += f", {tpu_balanced / torch_cpu_mt:.0f}x torch-cpu-{n_cores}t"
+    parts = [f"balanced (headline): {tpu_balanced:.0f} tiles/sec {ratio})",
+             f"f32 parity path: {tpu_f32:.0f} tiles/sec"]
     for mode, val in tpu_aux.items():
         parts.append(f"{mode}: {val:.0f} tiles/sec")
     if train_sps:
@@ -241,19 +255,21 @@ def main() -> None:
     if train_bf16_sps:
         parts.append(f"train-bf16: {train_bf16_sps:.0f} samples/sec")
     log("[summary] " + "; ".join(parts))
-    # Headline: the f32-HIGH parity path — the only serving mode ROBUSTLY
-    # inside the <=1 cm accuracy budget (3e-5 deviation from exact f32).
-    # The round-2 multi-scene study (BASELINE.md continuation-2) showed the
-    # fast modes' trained-weights deviation is scene-dependent (mixed/bf16
-    # 0.96-1.24 cm across city seeds), i.e. AT the budget boundary, so the
-    # earlier mixed headline was revised back to f32. Fast-mode numbers stay
-    # on stderr. vs_baseline uses the explicit 1-thread torch number
-    # (all-core on stderr).
+    # Headline: the 'balanced' serving mode — f32 storage, 1-pass bf16 MXU
+    # trunk, 3-pass HIGH on the two measured error-source convs (first +
+    # last). The round-2 per-layer attribution study (BASELINE.md) showed
+    # those two layers carry ~85% of the single-pass deviation; measured
+    # across 3 scenes x trained weights, balanced deviates 0.18-0.20 cm
+    # mean (p99 < 1 cm) — 5x inside the <=1 cm budget where the single-pass
+    # modes (mixed/bf16, 0.83-1.24 cm) straddle it. The exact f32-HIGH
+    # parity path (3e-5 deviation) stays available and is reported above.
+    # vs_baseline uses the explicit 1-thread torch number (all-core on
+    # stderr).
     print(json.dumps({
-        "metric": "tile_throughput_256px_stereo_unet_f32",
-        "value": round(tpu_f32, 2),
+        "metric": "tile_throughput_256px_stereo_unet_balanced",
+        "value": round(tpu_balanced, 2),
         "unit": "tiles/sec/chip",
-        "vs_baseline": round(tpu_f32 / torch_cpu, 2),
+        "vs_baseline": round(tpu_balanced / torch_cpu, 2),
     }))
 
 

@@ -283,10 +283,10 @@ def _valid_tpu_args(cfg_user, logger) -> bool:
     if "compute_dtype" in tpu and not in_enum(tpu.compute_dtype, schema.COMPUTE_DTYPES,
                                               "compute_dtype", logger):
         error = True
-    elif tpu.get("compute_dtype") == "mixed":
-        logger.error("'mixed' is an inference serving mode (eval config "
-                     "general.compute_dtype); for training precision use "
-                     "tpu.train_precision.\n")
+    elif tpu.get("compute_dtype") in ("mixed", "balanced"):
+        logger.error(f"'{tpu.compute_dtype}' is an inference serving mode "
+                     "(eval config general.compute_dtype); for training "
+                     "precision use tpu.train_precision.\n")
         error = True
     if "train_precision" in tpu and not in_enum(
             tpu.train_precision, schema.TRAIN_PRECISIONS, "train_precision",

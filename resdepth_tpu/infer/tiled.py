@@ -70,16 +70,23 @@ def _make_scene_fn(config: UNetConfig, spec: BatchSpec, shape, dsm_std,
             if compute_dtype == "mixed":
                 pred, _ = apply_unet(config, params, bn_state, batch["input"],
                                      train=False, mixed_precision=True)
-            elif compute_dtype in ("fast32", "act2pass"):
-                # fast32: f32 activations/storage, single-pass bf16 MXU
-                # multiplicands. act2pass: additionally split the ACTIVATION
-                # operand hi/lo (2 MXU passes; weights single-rounded) —
-                # activation rounding is the measured trunk error source.
-                prec = (jax.lax.Precision.DEFAULT if compute_dtype == "fast32"
+            elif compute_dtype in ("fast32", "act2pass", "balanced"):
+                # f32 activations/storage variants (BASELINE.md attribution
+                # study). fast32: single-pass bf16 MXU multiplicands
+                # everywhere. act2pass: activation operand hi/lo split (2
+                # passes), weights single-rounded. balanced: single-pass
+                # everywhere EXCEPT the two measured error sources — the
+                # first conv (raw +-2-sigma DSM multiplicands) and the final
+                # conv (absolute-height path) run 3-pass f32-HIGH.
+                prec = (jax.lax.Precision.DEFAULT if compute_dtype != "act2pass"
                         else (jax.lax.Precision.HIGH, jax.lax.Precision.DEFAULT))
+                lp = ({"encoder0": jax.lax.Precision.HIGH,
+                       "last": jax.lax.Precision.HIGH}
+                      if compute_dtype == "balanced" else None)
                 pred, _ = apply_unet(config, params, bn_state,
                                      batch["input"].astype(jnp.float32),
-                                     train=False, precision=prec)
+                                     train=False, precision=prec,
+                                     layer_precisions=lp)
             else:
                 x = batch["input"].astype(compute_dtype)
                 pred, _ = apply_unet(config, params, bn_state, x, train=False)

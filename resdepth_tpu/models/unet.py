@@ -426,7 +426,8 @@ def _composed_top(skip, d1, last, composed, mixed_precision, precision):
 
 def apply_unet(config: UNetConfig, params, state, x, *, train: bool = False,
                axis_name: str | None = None, sample_weights=None,
-               mixed_precision: bool = False, precision=None):
+               mixed_precision: bool = False, precision=None,
+               layer_precisions: dict | None = None):
     """Forward pass. ``x``: (N, H, W, C) with the initial DSM as channel 0.
 
     Returns ``(y, new_state)`` where ``y`` is (N, H, W, 1) and ``new_state``
@@ -446,22 +447,34 @@ def apply_unet(config: UNetConfig, params, state, x, *, train: bool = False,
     outer-skip DSM channel (±2σ ≈ ±10 m after normalisation) alone costs
     O(cm) of output height; the UNet-computed *correction* is small, so
     bf16 error there is sub-mm. Requires f32 input ``x``.
+
+    ``layer_precisions`` (diagnostic/tuning): per-conv precision overrides
+    keyed by layer name — ``encoder{i}``, ``bottleneck``, ``up{i}``,
+    ``decoder{i}``, ``last`` (the final conv; with a composed top, both its
+    convs). Unlisted layers fall back to ``precision``. Used by the
+    per-layer deviation-attribution study (BASELINE.md).
     """
+    def _prec(name):
+        if layer_precisions is not None and name in layer_precisions:
+            return layer_precisions[name]
+        return precision
+
     new_state: dict = {"encoder": [], "decoder": []}
     skips = []
     out = x.astype(jnp.bfloat16) if mixed_precision else x
 
-    for block, block_state in zip(params["encoder"], state["encoder"]):
+    for i, (block, block_state) in enumerate(zip(params["encoder"],
+                                                 state["encoder"])):
         out, ns = _conv_block(out, block, block_state, config.act_fn_encoder,
                               config.do_BN, train, axis_name, sample_weights,
-                              precision)
+                              _prec(f"encoder{i}"))
         skips.append(out)
         out = _max_pool_2x2(out)
         new_state["encoder"].append(ns)
 
     out, ns = _conv_block(out, params["bottleneck"], state["bottleneck"],
                           config.act_fn_bottleneck, config.do_BN, train,
-                          axis_name, sample_weights, precision)
+                          axis_name, sample_weights, _prec("bottleneck"))
     new_state["bottleneck"] = ns
 
     composed = params.get("top_composed")
@@ -470,24 +483,24 @@ def apply_unet(config: UNetConfig, params, state, x, *, train: bool = False,
         if composed is not None and i == n_decoder - 1:
             new_state["decoder"].append(block_state)
             break  # top level handled by the composed final conv below
-        up = _upconv(out, block["up"], config.up_mode, precision)
+        up = _upconv(out, block["up"], config.up_mode, _prec(f"up{i}"))
         out = skips[-1 - i] + up  # additive skip (lib/UNet.py:96-101)
         if i < n_decoder - 1:
             out, ns = _conv_block(out, block, block_state, config.act_fn_decoder,
                                   config.do_BN, train, axis_name, sample_weights,
-                                  precision)
+                                  _prec(f"decoder{i}"))
         else:
             ns = block_state  # deepest decoder level: no conv after the add
         new_state["decoder"].append(ns)
 
     if composed is not None:
         out = _composed_top(skips[0], out, params["last"], composed,
-                            mixed_precision, precision)
+                            mixed_precision, _prec("last"))
         out = out.astype(jnp.float32 if mixed_precision else x.dtype)
     else:
         if mixed_precision:
             out = out.astype(jnp.float32)  # last conv + skip in f32 (see above)
-        out = _conv(out, params["last"], ((1, 1), (1, 1)), precision).astype(
+        out = _conv(out, params["last"], ((1, 1), (1, 1)), _prec("last")).astype(
             jnp.float32 if mixed_precision else x.dtype)
 
     if config.outer_skip:

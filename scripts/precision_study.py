@@ -40,6 +40,12 @@ def main() -> None:
                     help="checkpoint path: reuse trained weights if present, "
                          "else train and save (same training is deterministic "
                          "per scene seed)")
+    ap.add_argument("--attrib", action="store_true",
+                    help="per-layer precision attribution instead of the mode "
+                         "table: each conv solo-demoted to 1-pass DEFAULT "
+                         "(others 3-pass HIGH) and its deviation contribution "
+                         "reported — the measurement behind the 'balanced' "
+                         "serving mode (BASELINE.md)")
     args = ap.parse_args()
     if args.rows <= 256 or args.cols <= 256:
         ap.error("--rows/--cols must exceed the 256 px tile size")
@@ -150,11 +156,15 @@ def main() -> None:
                           dsm_std=sigma, ortho_mean=float(views.mean()),
                           ortho_std=float(views.std()), seed=0)
 
+    if args.attrib:
+        _run_attribution(config, state, test_ds, sigma)
+        return
+
     outputs, rates = {}, {}
-    for mode in ("float32", "bfloat16", "mixed", "fast32", "act2pass"):
+    for mode in ("float32", "bfloat16", "mixed", "fast32", "act2pass", "balanced"):
         dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
                  "mixed": "mixed", "fast32": "fast32",
-                 "act2pass": "act2pass"}[mode]
+                 "act2pass": "act2pass", "balanced": "balanced"}[mode]
         pred = predict_linear_blend(config, state.params, state.bn_state,
                                     test_ds, batch_size=128,
                                     compute_dtype=dtype)
@@ -168,7 +178,7 @@ def main() -> None:
           f"{mae_f32:.3f} m over {rows}x{cols}")
     print(f"\n{'mode':10s} {'mean dev':>10s} {'p99':>10s} {'max':>10s} "
           f"{'tiles/s@128':>12s}  verdict")
-    for mode in ("bfloat16", "mixed", "fast32", "act2pass"):
+    for mode in ("bfloat16", "mixed", "fast32", "act2pass", "balanced"):
         d = np.abs(outputs[mode] - outputs["float32"])[valid]
         mean, p99, dmax = d.mean() * 100, np.percentile(d, 99) * 100, d.max() * 100
         verdict = "INSIDE <=1cm budget" if mean <= 1.0 else "outside budget"
@@ -176,6 +186,64 @@ def main() -> None:
               f"{rates[mode]:12.0f}  {verdict}")
     print(f"{'float32':10s} {'—':>10s} {'—':>10s} {'—':>10s} "
           f"{rates['float32']:12.0f}  parity path")
+
+
+def _run_attribution(config, state, test_ds, sigma: float) -> None:
+    """Per-layer solo-demotion study over every test tile of the scene.
+
+    Reference forward: every conv at 3-pass f32-HIGH. For each conv layer,
+    demote ONLY that layer to 1-pass bf16 DEFAULT and report the mean
+    absolute output deviation in cm (denormalized by the scene sigma). The
+    two dominant layers (encoder0, last) are what the 'balanced' serving
+    mode re-promotes to HIGH."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from resdepth_tpu.data.pipeline import (batch_spec_for, build_batch,
+                                            device_put_dataset)
+    from resdepth_tpu.models.unet import apply_unet, fold_serving
+
+    fcfg, fparams, fstate = fold_serving(config, state.params, state.bn_state)
+    rasters = device_put_dataset(test_ds)
+    spec = batch_spec_for(test_ds, transform_dsm=True, transform_orthos=True,
+                          augment=False)
+    spec = dataclasses.replace(spec, use_bounds=False, has_target=False)
+    n = len(test_ds.positions)
+    batch = build_batch(rasters,
+                        jnp.asarray(np.asarray(test_ds.positions, np.int32)),
+                        jnp.asarray(np.asarray(test_ds.pair_indices, np.int32)),
+                        jnp.zeros((n, 4), jnp.int32), jax.random.PRNGKey(0),
+                        spec)
+    x = batch["input"]
+
+    H, D = jax.lax.Precision.HIGH, jax.lax.Precision.DEFAULT
+    layers = ([f"encoder{i}" for i in range(fcfg.depth)] + ["bottleneck"]
+              + [f"up{i}" for i in range(fcfg.depth - 1)]
+              + [f"decoder{i}" for i in range(fcfg.depth - 1)] + ["last"])
+
+    def run(base, overrides):
+        @jax.jit
+        def f(p, s, xx):
+            return apply_unet(fcfg, p, s, xx, train=False, precision=base,
+                              layer_precisions=dict(overrides))[0]
+        return np.asarray(f(fparams, fstate, x))
+
+    y_ref = run(H, {})
+
+    def dev_cm(y) -> float:
+        return float(np.abs(y - y_ref).mean() * sigma * 100)
+
+    print(f"\n[attrib] {n} tiles, sigma={sigma:.2f} m; reference = all-HIGH")
+    print(f"all-DEFAULT          : {dev_cm(run(D, {})):.3f} cm")
+    solo = {}
+    for name in layers:
+        solo[name] = dev_cm(run(H, {name: D}))
+        print(f"solo-DEFAULT {name:10s}: {solo[name]:.3f} cm", flush=True)
+    print("\nranked contributions (cm):")
+    for name, d in sorted(solo.items(), key=lambda kv: -kv[1]):
+        print(f"  {name:10s} {d:.3f}")
 
 
 def _bench_mode(config, state, mode: str) -> float:
@@ -194,11 +262,14 @@ def _bench_mode(config, state, mode: str) -> float:
             if mode == "mixed":
                 y, _ = apply_unet(fcfg, p, s, carry, train=False,
                                   mixed_precision=True)
-            elif mode in ("fast32", "act2pass"):
-                prec = (jax.lax.Precision.DEFAULT if mode == "fast32"
+            elif mode in ("fast32", "act2pass", "balanced"):
+                prec = (jax.lax.Precision.DEFAULT if mode != "act2pass"
                         else (jax.lax.Precision.HIGH, jax.lax.Precision.DEFAULT))
+                lp = ({"encoder0": jax.lax.Precision.HIGH,
+                       "last": jax.lax.Precision.HIGH}
+                      if mode == "balanced" else None)
                 y, _ = apply_unet(fcfg, p, s, carry, train=False,
-                                  precision=prec)
+                                  precision=prec, layer_precisions=lp)
             else:
                 dt = jnp.bfloat16 if mode == "bfloat16" else jnp.float32
                 y, _ = apply_unet(fcfg, p, s, carry.astype(dt), train=False)

@@ -117,8 +117,8 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
     _dtype_name = cfg.general.get("compute_dtype")
-    compute_dtype = {"bfloat16": jnp.bfloat16, "mixed": "mixed"}.get(
-        _dtype_name, jnp.float32)
+    compute_dtype = {"bfloat16": jnp.bfloat16, "mixed": "mixed",
+                     "balanced": "balanced"}.get(_dtype_name, jnp.float32)
     # 128 is the measured throughput knee on the v5e (BASELINE.md: +1.7%
     # only at 256); small scenes are capped to their per-device tile share.
     batch_size = cfg.general.get("batch_size", 128)

@@ -212,6 +212,39 @@ def test_validate_infer_use_pallas_modes(make_geotiff, tmp_path):
     assert check("sideways") is False
 
 
+def test_compute_dtype_serving_modes_are_eval_only(make_geotiff, tmp_path):
+    """'mixed'/'balanced' are serving modes: the eval validator accepts them
+    as general.compute_dtype; the train validator rejects them under tpu."""
+    raster = make_geotiff("dsm.tif", np.zeros((64, 64), np.float32))
+    arch = {"name": "UNet", "input_channels": "geom",
+            "settings": {"n_input_channels": 1, "depth": 2, "start_kernel": 4}}
+    arch_path = str(tmp_path / "model_config.json")
+    io.write_json(arch, arch_path)
+    weights_path = str(tmp_path / "weights.npz")
+    np.savez(weights_path, dummy=np.zeros(1))
+    norm_path = str(tmp_path / "norm.json")
+    io.write_json({"mean": None, "std": 1.0}, norm_path)
+
+    def eval_status(value):
+        cfg = {
+            "datasets": [{"raster_in": raster}],
+            "model": {"weights": weights_path, "architecture": arch_path,
+                      "normalization_geom": norm_path},
+            "general": {"tile_size": 16, "compute_dtype": value},
+            "output": {"directory": str(tmp_path / "eval_out")},
+        }
+        return validate_infer.validate_and_update_cfg_file(cfg, logger).status
+
+    for mode in schema.COMPUTE_DTYPES:
+        assert eval_status(mode) is True, mode
+    assert eval_status("float64") is False
+
+    for mode in ("mixed", "balanced"):
+        cfg = _minimal_train_cfg(make_geotiff, tmp_path)
+        cfg.tpu = AttrDict(compute_dtype=mode)
+        assert validate_train.validate_cfg_file(cfg, logger) is False, mode
+
+
 def test_compilation_cache_host_scoped(tmp_path):
     # Cache entries must never be shared across hosts with different CPU
     # features (XLA:CPU AOT results embed them; loading foreign entries can

@@ -388,7 +388,7 @@ def test_tile_size_exceeding_region_raises_clearly(make_geotiff):
 
 
 def test_predict_experimental_precision_modes(make_geotiff):
-    """fast32/act2pass (library-only compute_dtype strings) run and agree
+    """fast32/act2pass/balanced (string compute_dtype modes) run and agree
     with the f32 path within their documented deviation scale."""
     paths, dsm, *_ = _scene(make_geotiff, rows=48, cols=48)
     entry = {"raster_in": paths["raster_in"],
@@ -400,7 +400,7 @@ def test_predict_experimental_precision_modes(make_geotiff):
     params, bn_state = init_unet(jax.random.PRNGKey(1), config)
 
     ref = predict_linear_blend(config, params, bn_state, ds, batch_size=3)
-    for mode in ("fast32", "act2pass"):
+    for mode in ("fast32", "act2pass", "balanced"):
         out = predict_linear_blend(config, params, bn_state, ds, batch_size=3,
                                    compute_dtype=mode)
         # CPU executes every precision as exact f32, so agreement is tight
