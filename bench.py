@@ -50,15 +50,14 @@ def bench_tpu(compute_dtype_name: str = "float32") -> float:
     config = flagship_config("geom-stereo")
     params, bn_state = init_unet(jax.random.PRNGKey(0), config)
     config, params, bn_state = fold_serving(config, params, bn_state)
+    from resdepth_tpu.models.unet import (SERVING_PRECISION_MODES,
+                                          serving_precision)
+
     mixed = compute_dtype_name == "mixed"
-    # f32-storage serving modes (BASELINE.md study): single-pass bf16 MXU
-    # multiplicands, with 'balanced' running the two measured error-source
-    # convs (first + last) at 3-pass HIGH.
-    precision = (jax.lax.Precision.DEFAULT
-                 if compute_dtype_name in ("fast32", "balanced") else None)
-    layer_precisions = ({"encoder0": jax.lax.Precision.HIGH,
-                         "last": jax.lax.Precision.HIGH}
-                        if compute_dtype_name == "balanced" else None)
+    # f32-storage serving modes; see models.unet.serving_precision.
+    precision = layer_precisions = None
+    if compute_dtype_name in SERVING_PRECISION_MODES:
+        precision, layer_precisions = serving_precision(compute_dtype_name)
     compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
 
     @jax.jit

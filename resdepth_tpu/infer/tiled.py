@@ -35,7 +35,8 @@ from resdepth_tpu.data.dataset import TileDataset
 from resdepth_tpu.data.pipeline import (BatchSpec, DeviceRasters,
                                         batch_spec_for, build_batch,
                                         device_put_dataset)
-from resdepth_tpu.models.unet import UNetConfig, apply_unet
+from resdepth_tpu.models.unet import (SERVING_PRECISION_MODES, UNetConfig,
+                                      apply_unet, serving_precision)
 from resdepth_tpu.ops import blend
 from resdepth_tpu.ops.pallas_stitch import (crop_scene, pad_scene,
                                             stitch_tiles_pallas,
@@ -70,19 +71,10 @@ def _make_scene_fn(config: UNetConfig, spec: BatchSpec, shape, dsm_std,
             if compute_dtype == "mixed":
                 pred, _ = apply_unet(config, params, bn_state, batch["input"],
                                      train=False, mixed_precision=True)
-            elif compute_dtype in ("fast32", "act2pass", "balanced"):
-                # f32 activations/storage variants (BASELINE.md attribution
-                # study). fast32: single-pass bf16 MXU multiplicands
-                # everywhere. act2pass: activation operand hi/lo split (2
-                # passes), weights single-rounded. balanced: single-pass
-                # everywhere EXCEPT the two measured error sources — the
-                # first conv (raw +-2-sigma DSM multiplicands) and the final
-                # conv (absolute-height path) run 3-pass f32-HIGH.
-                prec = (jax.lax.Precision.DEFAULT if compute_dtype != "act2pass"
-                        else (jax.lax.Precision.HIGH, jax.lax.Precision.DEFAULT))
-                lp = ({"encoder0": jax.lax.Precision.HIGH,
-                       "last": jax.lax.Precision.HIGH}
-                      if compute_dtype == "balanced" else None)
+            elif compute_dtype in SERVING_PRECISION_MODES:
+                # f32-storage serving modes; see models.unet.serving_precision
+                # for the registry and the semantics of each mode.
+                prec, lp = serving_precision(compute_dtype)
                 pred, _ = apply_unet(config, params, bn_state,
                                      batch["input"].astype(jnp.float32),
                                      train=False, precision=prec,

@@ -44,6 +44,35 @@ LRELU_SLOPE = 0.01
 PRELU_INIT = 0.25
 
 
+def serving_precision(mode: str):
+    """(precision, layer_precisions) for the f32-storage serving modes.
+
+    These modes keep activations/storage in f32 and vary only how the MXU
+    rounds conv operands (BASELINE.md attribution study):
+
+    - ``fast32``: single-pass bf16 multiplicands everywhere.
+    - ``act2pass``: activation operand split hi/lo over 2 MXU passes,
+      weights single-rounded, every layer.
+    - ``balanced``: single-pass everywhere EXCEPT the two measured error
+      sources — the first conv (raw ±2σ DSM multiplicands) and the final
+      conv (absolute-height path) run 3-pass f32-HIGH. The bench headline
+      mode: ≤0.2 cm mean trained-weights deviation across scenes.
+
+    The single registry behind ``predict_linear_blend(compute_dtype=...)``,
+    ``bench.py`` and ``scripts/precision_study.py``.
+    """
+    H, D = jax.lax.Precision.HIGH, jax.lax.Precision.DEFAULT
+    table = {
+        "fast32": (D, None),
+        "act2pass": ((H, D), None),
+        "balanced": (D, {"encoder0": H, "last": H}),
+    }
+    return table[mode]
+
+
+SERVING_PRECISION_MODES = ("fast32", "act2pass", "balanced")
+
+
 @dataclasses.dataclass(frozen=True)
 class UNetConfig:
     n_input_channels: int = 1

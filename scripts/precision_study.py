@@ -251,7 +251,8 @@ def _bench_mode(config, state, mode: str) -> float:
     import jax
     import jax.numpy as jnp
 
-    from resdepth_tpu.models.unet import apply_unet, fold_serving
+    from resdepth_tpu.models.unet import (SERVING_PRECISION_MODES, apply_unet,
+                                          fold_serving, serving_precision)
 
     fcfg, fparams, fstate = fold_serving(config, state.params, state.bn_state)
     B, iters = 128, 8
@@ -262,12 +263,8 @@ def _bench_mode(config, state, mode: str) -> float:
             if mode == "mixed":
                 y, _ = apply_unet(fcfg, p, s, carry, train=False,
                                   mixed_precision=True)
-            elif mode in ("fast32", "act2pass", "balanced"):
-                prec = (jax.lax.Precision.DEFAULT if mode != "act2pass"
-                        else (jax.lax.Precision.HIGH, jax.lax.Precision.DEFAULT))
-                lp = ({"encoder0": jax.lax.Precision.HIGH,
-                       "last": jax.lax.Precision.HIGH}
-                      if mode == "balanced" else None)
+            elif mode in SERVING_PRECISION_MODES:
+                prec, lp = serving_precision(mode)
                 y, _ = apply_unet(fcfg, p, s, carry, train=False,
                                   precision=prec, layer_precisions=lp)
             else:
