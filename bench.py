@@ -54,21 +54,19 @@ def bench_tpu(compute_dtype_name: str = "float32") -> float:
                                           serving_precision)
 
     mixed = compute_dtype_name == "mixed"
-    # f32-storage serving modes; see models.unet.serving_precision.
+    # String serving modes; see models.unet.serving_precision.
     precision = layer_precisions = None
     if compute_dtype_name in SERVING_PRECISION_MODES:
-        precision, layer_precisions = serving_precision(compute_dtype_name)
+        mixed, precision, layer_precisions = serving_precision(compute_dtype_name)
     compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
 
     @jax.jit
     def chain(params, bn_state, x):
         def body(i, carry):
-            if mixed:
+            if mixed or precision is not None:
                 y, _ = apply_unet(config, params, bn_state, carry,
-                                  train=False, mixed_precision=True)
-            elif precision is not None:
-                y, _ = apply_unet(config, params, bn_state, carry,
-                                  train=False, precision=precision,
+                                  train=False, mixed_precision=mixed,
+                                  precision=precision,
                                   layer_precisions=layer_precisions)
             else:
                 y, _ = apply_unet(config, params, bn_state,
@@ -210,10 +208,10 @@ def main() -> None:
     from resdepth_tpu.utils import compilation_cache
     compilation_cache.enable()  # repeat driver runs skip the slow compiles
 
-    tpu_balanced = bench_tpu("balanced")
+    tpu_headline = bench_tpu("balanced16")
     tpu_f32 = bench_tpu("float32")
     tpu_aux = {}
-    for mode in ("bfloat16", "mixed"):
+    for mode in ("balanced", "bfloat16", "mixed"):
         try:
             tpu_aux[mode] = bench_tpu(mode)
         except Exception as exc:  # auxiliary modes never fail the bench
@@ -242,10 +240,10 @@ def main() -> None:
         log(f"[torch-cpu] single-core machine; 1-thread == all-core baseline")
         torch_cpu_mt = torch_cpu
 
-    ratio = f"({tpu_balanced / torch_cpu:.0f}x torch-cpu-1t"
+    ratio = f"({tpu_headline / torch_cpu:.0f}x torch-cpu-1t"
     if n_cores > 1:
-        ratio += f", {tpu_balanced / torch_cpu_mt:.0f}x torch-cpu-{n_cores}t"
-    parts = [f"balanced (headline): {tpu_balanced:.0f} tiles/sec {ratio})",
+        ratio += f", {tpu_headline / torch_cpu_mt:.0f}x torch-cpu-{n_cores}t"
+    parts = [f"balanced16 (headline): {tpu_headline:.0f} tiles/sec {ratio})",
              f"f32 parity path: {tpu_f32:.0f} tiles/sec"]
     for mode, val in tpu_aux.items():
         parts.append(f"{mode}: {val:.0f} tiles/sec")
@@ -254,21 +252,22 @@ def main() -> None:
     if train_bf16_sps:
         parts.append(f"train-bf16: {train_bf16_sps:.0f} samples/sec")
     log("[summary] " + "; ".join(parts))
-    # Headline: the 'balanced' serving mode — f32 storage, 1-pass bf16 MXU
-    # trunk, 3-pass HIGH on the two measured error-source convs (first +
-    # last). The round-2 per-layer attribution study (BASELINE.md) showed
-    # those two layers carry ~85% of the single-pass deviation; measured
-    # across 3 scenes x trained weights, balanced deviates 0.18-0.20 cm
-    # mean (p99 < 1 cm) — 5x inside the <=1 cm budget where the single-pass
-    # modes (mixed/bf16, 0.83-1.24 cm) straddle it. The exact f32-HIGH
-    # parity path (3e-5 deviation) stays available and is reported above.
-    # vs_baseline uses the explicit 1-thread torch number (all-core on
-    # stderr).
+    # Headline: the 'balanced16' serving mode — bf16 activation trunk with
+    # the two measured error-source convs (first + last) run from f32
+    # inputs with f32 kernels at 3-pass HIGH. The round-2 per-layer
+    # attribution study (BASELINE.md) showed those two layers carry ~85% of
+    # the single-pass deviation; measured across 3 scenes x trained
+    # weights, balanced16 deviates 0.36-0.37 cm mean — ~2.7x inside the
+    # <=1 cm budget where the single-pass modes (mixed/bf16, 0.83-1.24 cm)
+    # straddle it — at ~92% of full-bf16 speed. 'balanced' (f32 storage,
+    # 0.18-0.20 cm) and the exact f32-HIGH parity path (3e-5) stay
+    # available and are reported above. vs_baseline uses the explicit
+    # 1-thread torch number (all-core on stderr).
     print(json.dumps({
-        "metric": "tile_throughput_256px_stereo_unet_balanced",
-        "value": round(tpu_balanced, 2),
+        "metric": "tile_throughput_256px_stereo_unet_balanced16",
+        "value": round(tpu_headline, 2),
         "unit": "tiles/sec/chip",
-        "vs_baseline": round(tpu_balanced / torch_cpu, 2),
+        "vs_baseline": round(tpu_headline / torch_cpu, 2),
     }))
 
 

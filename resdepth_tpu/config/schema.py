@@ -54,11 +54,14 @@ OUTPUT_KEYS = ["output_directory", "tboard_log_dir", "suffix", "plot_model_txt"]
 
 TPU_KEYS = [
     "train_precision",      # MXU precision for training convs
-    "compute_dtype",        # 'float32' | 'bfloat16' | 'mixed' | 'balanced'
-                            # — model compute precision ('mixed': bf16 conv
-                            # stack, f32 height path; 'balanced': f32 storage,
-                            # 1-pass bf16 MXU trunk, 3-pass first+last convs —
-                            # sub-0.5 cm deviation, eval-only)
+    "compute_dtype",        # 'float32' | 'bfloat16' | 'mixed' | 'balanced' |
+                            # 'balanced16' — model compute precision
+                            # ('mixed': bf16 conv stack, f32 height path;
+                            # 'balanced': f32 storage, 1-pass bf16 MXU trunk,
+                            # 3-pass first+last convs; 'balanced16': the
+                            # balanced recipe on a bf16 trunk — near-bf16
+                            # speed, sub-0.5 cm deviation; serving modes are
+                            # eval-only)
     "data_parallel",        # bool — shard batches over the device mesh
     "mesh_axis",            # name of the data-parallel mesh axis
     "dcn_slices",           # >1: outer DCN axis of a 2-D device mesh
@@ -97,7 +100,7 @@ ARCHITECTURES = ["UNet"]
 ACTIVATION_FUNCTIONS = ["relu", "lrelu", "prelu"]
 UPSAMPLING_MODES = ["transpose", "bilinear"]
 ALLOCATION_STRATEGIES = ["5-crossval_vertical", "5-crossval_horizontal", "entire"]
-COMPUTE_DTYPES = ["float32", "bfloat16", "mixed", "balanced"]
+COMPUTE_DTYPES = ["float32", "bfloat16", "mixed", "balanced", "balanced16"]
 TRAIN_PRECISIONS = ["high", "default", "highest"]
 
 

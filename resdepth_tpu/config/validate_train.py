@@ -283,7 +283,7 @@ def _valid_tpu_args(cfg_user, logger) -> bool:
     if "compute_dtype" in tpu and not in_enum(tpu.compute_dtype, schema.COMPUTE_DTYPES,
                                               "compute_dtype", logger):
         error = True
-    elif tpu.get("compute_dtype") in ("mixed", "balanced"):
+    elif tpu.get("compute_dtype") not in (None, "float32", "bfloat16"):
         logger.error(f"'{tpu.compute_dtype}' is an inference serving mode "
                      "(eval config general.compute_dtype); for training "
                      "precision use tpu.train_precision.\n")

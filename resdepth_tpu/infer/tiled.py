@@ -72,13 +72,13 @@ def _make_scene_fn(config: UNetConfig, spec: BatchSpec, shape, dsm_std,
                 pred, _ = apply_unet(config, params, bn_state, batch["input"],
                                      train=False, mixed_precision=True)
             elif compute_dtype in SERVING_PRECISION_MODES:
-                # f32-storage serving modes; see models.unet.serving_precision
+                # String serving modes; see models.unet.serving_precision
                 # for the registry and the semantics of each mode.
-                prec, lp = serving_precision(compute_dtype)
+                mixed, prec, lp = serving_precision(compute_dtype)
                 pred, _ = apply_unet(config, params, bn_state,
                                      batch["input"].astype(jnp.float32),
-                                     train=False, precision=prec,
-                                     layer_precisions=lp)
+                                     train=False, mixed_precision=mixed,
+                                     precision=prec, layer_precisions=lp)
             else:
                 x = batch["input"].astype(compute_dtype)
                 pred, _ = apply_unet(config, params, bn_state, x, train=False)

@@ -45,32 +45,38 @@ PRELU_INIT = 0.25
 
 
 def serving_precision(mode: str):
-    """(precision, layer_precisions) for the f32-storage serving modes.
+    """(mixed, precision, layer_precisions) for the string serving modes.
 
-    These modes keep activations/storage in f32 and vary only how the MXU
-    rounds conv operands (BASELINE.md attribution study):
+    ``mixed`` selects the bf16 activation trunk; ``precision`` /
+    ``layer_precisions`` control how the MXU rounds conv operands
+    (BASELINE.md attribution study):
 
-    - ``fast32``: single-pass bf16 multiplicands everywhere.
-    - ``act2pass``: activation operand split hi/lo over 2 MXU passes,
-      weights single-rounded, every layer.
-    - ``balanced``: single-pass everywhere EXCEPT the two measured error
-      sources — the first conv (raw ±2σ DSM multiplicands) and the final
-      conv (absolute-height path) run 3-pass f32-HIGH. The bench headline
-      mode: ≤0.2 cm mean trained-weights deviation across scenes.
+    - ``fast32``: f32 storage, single-pass bf16 multiplicands everywhere.
+    - ``act2pass``: f32 storage, activation operand split hi/lo over 2 MXU
+      passes, weights single-rounded, every layer.
+    - ``balanced``: f32 storage, single-pass everywhere EXCEPT the two
+      measured error sources — the first conv (raw ±2σ DSM multiplicands)
+      and the final conv (absolute-height path) run 3-pass f32-HIGH.
+      ≤0.2 cm mean trained-weights deviation across scenes.
+    - ``balanced16``: the balanced recipe on a bf16 activation trunk
+      (storage rounding is measured-negligible): first+last convs consume
+      f32 inputs with f32 kernels at 3-pass HIGH, everything between runs
+      native bf16.
 
     The single registry behind ``predict_linear_blend(compute_dtype=...)``,
     ``bench.py`` and ``scripts/precision_study.py``.
     """
     H, D = jax.lax.Precision.HIGH, jax.lax.Precision.DEFAULT
     table = {
-        "fast32": (D, None),
-        "act2pass": ((H, D), None),
-        "balanced": (D, {"encoder0": H, "last": H}),
+        "fast32": (False, D, None),
+        "act2pass": (False, (H, D), None),
+        "balanced": (False, D, {"encoder0": H, "last": H}),
+        "balanced16": (True, None, {"encoder0": H, "last": H}),
     }
     return table[mode]
 
 
-SERVING_PRECISION_MODES = ("fast32", "act2pass", "balanced")
+SERVING_PRECISION_MODES = ("fast32", "act2pass", "balanced", "balanced16")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -422,7 +428,18 @@ def _composed_top(skip, d1, last, composed, mixed_precision, precision):
     skip at full res plus the upconv-composed conv on half-res ``d1``."""
     prec = precision if precision is not None else _precision(skip)
 
-    if mixed_precision:
+    if mixed_precision and precision is not None:
+        # bf16-trunk serving with a full-fidelity top ('balanced16'): the
+        # bf16 trunk activations are upcast and BOTH top convs run with f32
+        # kernels at the explicitly requested MXU precision (HIGH = 3-pass).
+        # The explicit ``precision`` is the discriminator: plain mixed
+        # serving never passes one.
+        ys = _conv_same(skip.astype(jnp.float32),
+                        last["kernel"].astype(jnp.float32), prec, jnp.float32)
+        yd = _conv_same(d1.astype(jnp.float32),
+                        composed["ck"].astype(jnp.float32), prec, jnp.float32)
+        acc = jnp.float32
+    elif mixed_precision:
         # Mixed serving: bf16 kernels/activations on the wire, but the
         # absolute-height path accumulates in f32 — f32 conv outputs here,
         # f32 bias map, and the f32 outer skip in the caller. Trained-weights
@@ -494,9 +511,19 @@ def apply_unet(config: UNetConfig, params, state, x, *, train: bool = False,
 
     for i, (block, block_state) in enumerate(zip(params["encoder"],
                                                  state["encoder"])):
+        if (mixed_precision and i == 0 and layer_precisions is not None
+                and "encoder0" in layer_precisions):
+            # bf16-trunk serving with a full-fidelity first conv
+            # ('balanced16'): the first conv consumes the RAW f32 input —
+            # its ±2σ DSM multiplicands are the measured dominant error
+            # source under bf16 rounding — and only its output joins the
+            # bf16 trunk.
+            out = x
         out, ns = _conv_block(out, block, block_state, config.act_fn_encoder,
                               config.do_BN, train, axis_name, sample_weights,
                               _prec(f"encoder{i}"))
+        if mixed_precision:
+            out = out.astype(jnp.bfloat16)
         skips.append(out)
         out = _max_pool_2x2(out)
         new_state["encoder"].append(ns)

@@ -161,10 +161,10 @@ def main() -> None:
         return
 
     outputs, rates = {}, {}
-    for mode in ("float32", "bfloat16", "mixed", "fast32", "act2pass", "balanced"):
-        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
-                 "mixed": "mixed", "fast32": "fast32",
-                 "act2pass": "act2pass", "balanced": "balanced"}[mode]
+    modes = ("float32", "bfloat16", "mixed", "fast32", "act2pass",
+             "balanced", "balanced16")
+    for mode in modes:
+        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}.get(mode, mode)
         pred = predict_linear_blend(config, state.params, state.bn_state,
                                     test_ds, batch_size=128,
                                     compute_dtype=dtype)
@@ -178,7 +178,7 @@ def main() -> None:
           f"{mae_f32:.3f} m over {rows}x{cols}")
     print(f"\n{'mode':10s} {'mean dev':>10s} {'p99':>10s} {'max':>10s} "
           f"{'tiles/s@128':>12s}  verdict")
-    for mode in ("bfloat16", "mixed", "fast32", "act2pass", "balanced"):
+    for mode in modes[1:]:
         d = np.abs(outputs[mode] - outputs["float32"])[valid]
         mean, p99, dmax = d.mean() * 100, np.percentile(d, 99) * 100, d.max() * 100
         verdict = "INSIDE <=1cm budget" if mean <= 1.0 else "outside budget"
@@ -264,9 +264,10 @@ def _bench_mode(config, state, mode: str) -> float:
                 y, _ = apply_unet(fcfg, p, s, carry, train=False,
                                   mixed_precision=True)
             elif mode in SERVING_PRECISION_MODES:
-                prec, lp = serving_precision(mode)
+                mixed, prec, lp = serving_precision(mode)
                 y, _ = apply_unet(fcfg, p, s, carry, train=False,
-                                  precision=prec, layer_precisions=lp)
+                                  mixed_precision=mixed, precision=prec,
+                                  layer_precisions=lp)
             else:
                 dt = jnp.bfloat16 if mode == "bfloat16" else jnp.float32
                 y, _ = apply_unet(fcfg, p, s, carry.astype(dt), train=False)

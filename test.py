@@ -116,9 +116,14 @@ def main() -> None:
 
     import jax
     import jax.numpy as jnp
+    from resdepth_tpu.models.unet import SERVING_PRECISION_MODES
     _dtype_name = cfg.general.get("compute_dtype")
-    compute_dtype = {"bfloat16": jnp.bfloat16, "mixed": "mixed",
-                     "balanced": "balanced"}.get(_dtype_name, jnp.float32)
+    if _dtype_name == "mixed" or _dtype_name in SERVING_PRECISION_MODES:
+        compute_dtype = _dtype_name           # string serving mode
+    elif _dtype_name == "bfloat16":
+        compute_dtype = jnp.bfloat16
+    else:
+        compute_dtype = jnp.float32
     # 128 is the measured throughput knee on the v5e (BASELINE.md: +1.7%
     # only at 256); small scenes are capped to their per-device tile share.
     batch_size = cfg.general.get("batch_size", 128)

@@ -239,7 +239,7 @@ def test_compute_dtype_serving_modes_are_eval_only(make_geotiff, tmp_path):
         assert eval_status(mode) is True, mode
     assert eval_status("float64") is False
 
-    for mode in ("mixed", "balanced"):
+    for mode in ("mixed", "balanced", "balanced16"):
         cfg = _minimal_train_cfg(make_geotiff, tmp_path)
         cfg.tpu = AttrDict(compute_dtype=mode)
         assert validate_train.validate_cfg_file(cfg, logger) is False, mode

@@ -399,11 +399,24 @@ def test_predict_experimental_precision_modes(make_geotiff):
                         depth=2)
     params, bn_state = init_unet(jax.random.PRNGKey(1), config)
 
+    from resdepth_tpu.models.unet import SERVING_PRECISION_MODES, serving_precision
+
     ref = predict_linear_blend(config, params, bn_state, ds, batch_size=3)
-    for mode in ("fast32", "act2pass", "balanced"):
+    for mode in SERVING_PRECISION_MODES:
         out = predict_linear_blend(config, params, bn_state, ds, batch_size=3,
                                    compute_dtype=mode)
-        # CPU executes every precision as exact f32, so agreement is tight
-        # there; on TPU these modes deviate at the documented cm scale.
         assert np.isfinite(out).all()
-        np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.1)
+        bf16_trunk = serving_precision(mode)[0]
+        if bf16_trunk:
+            # bf16 activation storage quantizes even on CPU; on a random-init
+            # net a pre-activation near a ReLU boundary can flip at isolated
+            # pixels, so assert at the distribution level.
+            # Sanity bounds only — budget qualification happens on trained
+            # weights in scripts/precision_study.py, not on this random net.
+            d = np.abs(out - ref)
+            assert d.mean() < 0.1 and d.max() < 5.0
+        else:
+            # CPU executes every MXU precision as exact f32, so the
+            # f32-storage modes agree tightly there; on TPU they deviate at
+            # the documented cm scale.
+            np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.1)
