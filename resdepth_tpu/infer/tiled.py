@@ -128,8 +128,11 @@ def _inference_spec(ds: TileDataset) -> BatchSpec:
 
 def _predict_tiles(config, params, bn_state, rasters, positions, pair_idx,
                    wy, wx, shape, spec, dsm_std, batch_size, mesh, axis_name,
-                   compute_dtype, use_pallas) -> np.ndarray:
-    """Run the jitted scan over one set of tiles into a (rows, cols) canvas."""
+                   compute_dtype, use_pallas):
+    """Run the jitted scan over one set of tiles into a (rows, cols) canvas.
+
+    Returns the DEVICE canvas: the scan is dispatched asynchronously, so the
+    caller can overlap the fetch with further host/device work."""
     tile = spec.tile_size
     n = len(positions)
     n_dev = mesh.devices.size if mesh is not None else 1
@@ -152,19 +155,18 @@ def _predict_tiles(config, params, bn_state, rasters, positions, pair_idx,
                               tuple(mesh.axis_names) if mesh is not None
                               else None,
                               use_pallas)
-    out = scene_fn(params, bn_state, rasters,
-                   positions.reshape(n_steps, per_step, 2),
-                   pair_idx.reshape(n_steps, per_step),
-                   wy.reshape(n_steps, per_step, tile),
-                   wx.reshape(n_steps, per_step, tile))
-    return np.asarray(out)
+    return scene_fn(params, bn_state, rasters,
+                    positions.reshape(n_steps, per_step, 2),
+                    pair_idx.reshape(n_steps, per_step),
+                    wy.reshape(n_steps, per_step, tile),
+                    wx.reshape(n_steps, per_step, tile))
 
 
 def predict_linear_blend(config: UNetConfig, params, bn_state, ds: TileDataset,
                          *, batch_size: int = 64, mesh=None,
                          axis_name: str = "data", compute_dtype=jnp.float32,
                          rasters=None, use_pallas: bool | None = None,
-                         fold_bn: bool = True) -> np.ndarray:
+                         fold_bn: bool = True, as_numpy: bool = True):
     """Refine a whole scene; returns the blended refined DSM (rows, cols).
 
     ``ds`` must be a 'test'-strategy TileDataset (overlapping grid). Interface
@@ -178,10 +180,16 @@ def predict_linear_blend(config: UNetConfig, params, bn_state, ds: TileDataset,
     DMA (ops/pallas_stitch.py); None = auto (True on TPU).
 
     ``compute_dtype``: jnp.float32 (default, parity path) | jnp.bfloat16 |
-    "mixed" (bf16 conv stack, f32-accumulated height path) — the config
-    surface; plus the library-only diagnostic modes "fast32" (f32 storage,
-    1-pass bf16 MXU) and "act2pass" (f32 storage, activation operand at
-    HIGH) — deviation data in BASELINE.md's multi-scene study.
+    "mixed" (bf16 conv stack, f32-accumulated height path) | the registry
+    serving modes "balanced"/"balanced16" (models.unet.serving_precision;
+    "balanced16" is the bench headline) | the library-only diagnostic modes
+    "fast32" / "act2pass" — deviation data in BASELINE.md's studies.
+
+    ``as_numpy``: True fetches the finished scene to host (blocking). False
+    returns the DEVICE canvas right after the async dispatch, letting the
+    caller overlap this scene's compute/fetch with other work (test.py
+    pipelines consecutive image pairs this way); call ``np.asarray`` on the
+    result to materialise it.
     """
     if fold_bn:
         from resdepth_tpu.models.unet import fold_serving
@@ -193,10 +201,11 @@ def predict_linear_blend(config: UNetConfig, params, bn_state, ds: TileDataset,
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
     wy, wx = blend.weight_table(ds.tile_size, ds.stride, ds.valid_bounds)
-    return _predict_tiles(config, params, bn_state, rasters, ds.positions,
-                          ds.pair_indices, wy, wx, ds.dsm_input.shape,
-                          _inference_spec(ds), ds.dsm_std, batch_size, mesh,
-                          axis_name, compute_dtype, use_pallas)
+    out = _predict_tiles(config, params, bn_state, rasters, ds.positions,
+                         ds.pair_indices, wy, wx, ds.dsm_input.shape,
+                         _inference_spec(ds), ds.dsm_std, batch_size, mesh,
+                         axis_name, compute_dtype, use_pallas)
+    return np.asarray(out) if as_numpy else out
 
 
 def predict_linear_blend_streaming(config: UNetConfig, params, bn_state,
@@ -268,7 +277,7 @@ def predict_linear_blend_streaming(config: UNetConfig, params, bn_state,
             ds.pair_indices[band_idx], wy_all[band_idx], wx_all[band_idx],
             (window_rows, cols), spec, ds.dsm_std, batch_size, mesh,
             axis_name, compute_dtype, use_pallas)
-        out[window] += band_out
+        out[window] += np.asarray(band_out)
         start = end
 
     return out

@@ -266,11 +266,12 @@ def main() -> None:
             "normalization_geom": "EDIT: <run_dir>/DSM_normalization_parameters.p",
             "normalization_image": "EDIT: <run_dir>/Image_normalization_parameters.p",
         },
-        # Default f32-HIGH serving (the parity path; 3e-5 deviation). The
-        # ~2.4x-faster 'mixed'/'bfloat16' modes are opt-in: their deviation
-        # is scene-dependent at the 1 cm budget boundary (BASELINE.md
-        # multi-scene study).
-        "general": {"tile_size": 128},
+        # 'balanced16' serving (the bench headline): bf16 trunk with
+        # full-fidelity first+last convs — 0.36-0.37 cm scene-independent
+        # trained-weights deviation at ~92% of bf16 speed (BASELINE.md).
+        # Remove the key for exact f32-HIGH parity serving (3e-5 deviation);
+        # 'mixed'/'bfloat16' remain opt-in at the 1 cm budget boundary.
+        "general": {"tile_size": 128, "compute_dtype": "balanced16"},
         "output": {"directory": os.path.join(out_abs, "eval")},
     }
     with open(os.path.join(out_dir, "config_test.json"), "w") as f:

@@ -158,49 +158,70 @@ def main() -> None:
         residual_pool: dict[str, list] = {}
         device_rasters = None  # scene rasters upload once, reused per pair
 
-        for image_pair in image_pairs:
-            if image_pair is not None:
-                kind = {1: "Image", 2: "Stereopair"}.get(len(image_pair), "Imagepair")
-                folder = "_".join([kind] + [str(i) for i in image_pair])
-                output_directory = os.path.join(output_parent, folder)
-                fs.make_dir(output_directory)
-                logger.info(f"\nInference using image pair: {tuple(image_pair)}")
-                for image_index in image_pair:
-                    logger.info(f"Image {image_index}:\t"
-                                f"{fs.filename(dataset.image_list[image_index])}")
-                ds_entry = dict(dataset)
-                ds_entry["image_pairs"] = [tuple(image_pair)]
-            else:
-                logger.info("Inference without image guidance.\n")
-                output_directory = output_parent
-                ds_entry = dict(dataset)
+        # 1-deep pipeline over image pairs: each pair's scene program is
+        # dispatched asynchronously (as_numpy=False), and the PREVIOUS
+        # pair's fetch + host-side evaluation/export run while it computes.
+        # The reference loops tiles at batch 1 and evaluates synchronously
+        # (test.py:136-258); here the host never idles between pairs.
+        _SENTINEL = object()
+        pending = None
 
-            tile_ds = TileDataset(
-                ds_entry, input_channels=cfg.model.input_channels,
-                tile_size=cfg.general.tile_size, sampling_strategy="test",
-                dsm_mean=None, dsm_std=params_dsm["std"],
-                ortho_mean=params_images["mean"], ortho_std=params_images["std"])
+        for image_pair in list(image_pairs) + [_SENTINEL]:
+            job = None
+            if image_pair is not _SENTINEL:
+                if image_pair is not None:
+                    kind = {1: "Image", 2: "Stereopair"}.get(len(image_pair),
+                                                             "Imagepair")
+                    folder = "_".join([kind] + [str(i) for i in image_pair])
+                    output_directory = os.path.join(output_parent, folder)
+                    fs.make_dir(output_directory)
+                    logger.info(f"\nInference using image pair: {tuple(image_pair)}")
+                    for image_index in image_pair:
+                        logger.info(f"Image {image_index}:\t"
+                                    f"{fs.filename(dataset.image_list[image_index])}")
+                    ds_entry = dict(dataset)
+                    ds_entry["image_pairs"] = [tuple(image_pair)]
+                else:
+                    logger.info("Inference without image guidance.\n")
+                    output_directory = output_parent
+                    ds_entry = dict(dataset)
 
-            logger.info("Predict...")
-            n_views = 0 if tile_ds.orthos is None else tile_ds.orthos.shape[2]
-            scene_pixels = tile_ds.dsm_input.size * (1 + n_views)
-            if scene_pixels > MAX_DEVICE_PIXELS:
-                logger.info(f"Scene of {scene_pixels / 2**20:.0f} Mpx exceeds "
-                            "device budget; streaming row bands.")
-                prediction = predict_linear_blend_streaming(
-                    model_config, params, bn_state, tile_ds,
-                    max_device_pixels=MAX_DEVICE_PIXELS,
-                    batch_size=batch_size, compute_dtype=compute_dtype,
-                    use_pallas=use_pallas, mesh=mesh)
-            else:
-                if device_rasters is None:
-                    device_rasters = device_put_dataset(tile_ds)
-                pair_rasters = dataclasses.replace(
-                    device_rasters, pairs=jnp.asarray(tile_ds.pairs_array))
-                prediction = predict_linear_blend(
-                    model_config, params, bn_state, tile_ds,
-                    batch_size=batch_size, compute_dtype=compute_dtype,
-                    rasters=pair_rasters, use_pallas=use_pallas, mesh=mesh)
+                tile_ds = TileDataset(
+                    ds_entry, input_channels=cfg.model.input_channels,
+                    tile_size=cfg.general.tile_size, sampling_strategy="test",
+                    dsm_mean=None, dsm_std=params_dsm["std"],
+                    ortho_mean=params_images["mean"],
+                    ortho_std=params_images["std"])
+
+                logger.info("Predict...")
+                n_views = 0 if tile_ds.orthos is None else tile_ds.orthos.shape[2]
+                scene_pixels = tile_ds.dsm_input.size * (1 + n_views)
+                if scene_pixels > MAX_DEVICE_PIXELS:
+                    logger.info(f"Scene of {scene_pixels / 2**20:.0f} Mpx exceeds "
+                                "device budget; streaming row bands.")
+                    prediction = predict_linear_blend_streaming(
+                        model_config, params, bn_state, tile_ds,
+                        max_device_pixels=MAX_DEVICE_PIXELS,
+                        batch_size=batch_size, compute_dtype=compute_dtype,
+                        use_pallas=use_pallas, mesh=mesh)
+                else:
+                    if device_rasters is None:
+                        device_rasters = device_put_dataset(tile_ds)
+                    pair_rasters = dataclasses.replace(
+                        device_rasters, pairs=jnp.asarray(tile_ds.pairs_array))
+                    prediction = predict_linear_blend(
+                        model_config, params, bn_state, tile_ds,
+                        batch_size=batch_size, compute_dtype=compute_dtype,
+                        rasters=pair_rasters, use_pallas=use_pallas, mesh=mesh,
+                        as_numpy=False)
+                job = (prediction, tile_ds, output_directory)
+
+            if pending is None:
+                pending = job
+                continue
+            prediction, tile_ds, output_directory = pending
+            prediction = np.asarray(prediction)  # fetch; overlaps job's compute
+            pending = job
 
             area_defn = dataset.area_defn
             if dataset.get("raster_gt"):

@@ -204,6 +204,74 @@ def test_infer_from_torch_checkpoint(make_geotiff, tmp_path, monkeypatch):
     assert preds
 
 
+def test_infer_multi_pair_aggregate(make_geotiff, tmp_path, monkeypatch):
+    """Multi-pair inference: each pair refines the whole scene (pipelined
+    dispatch in test.py), per-pair outputs + stats land in per-pair subdirs,
+    and the cross-pair aggregate statistics report is written
+    (reference: test.py:289-357)."""
+    import pickle
+
+    import jax
+
+    from resdepth_tpu.models.unet import UNetConfig, init_unet
+    from resdepth_tpu.train import checkpoint as ckpt_io
+
+    paths, dsm, gt = _write_scene(make_geotiff, tmp_path)
+
+    settings = dict(n_input_channels=3, start_kernel=4, max_filter_depth=8,
+                    depth=2)
+    config = UNetConfig(**settings)
+    params, bn_state = init_unet(jax.random.PRNGKey(3), config)
+    weights_path = tmp_path / "Model_best.npz"
+    ckpt_io.save_checkpoint(str(weights_path), epoch=0, params=params,
+                            bn_state=bn_state)
+
+    arch_path = tmp_path / "model_config.json"
+    arch_path.write_text(json.dumps({
+        "name": "UNet", "input_channels": "geom-stereo",
+        "settings": settings}))
+    norm_geom = tmp_path / "DSM_normalization_parameters.p"
+    with open(norm_geom, "wb") as f:
+        pickle.dump({"mean": None, "std": 4.0}, f)
+    norm_image = tmp_path / "Image_normalization_parameters.p"
+    with open(norm_image, "wb") as f:
+        pickle.dump({"mean": 120.0, "std": 25.0}, f)
+
+    eval_cfg = {
+        "datasets": [{
+            "name": "multipair", "raster_in": paths["raster_in"],
+            "raster_gt": paths["raster_gt"],
+            "path_image_list": paths["imagelist"],
+            "path_pairlist": paths["pairlist"],   # two pairs
+            "allocation_strategy": "5-crossval_vertical",
+            "test_stripe": 1, "area_type": "test",
+        }],
+        "model": {"weights": str(weights_path),
+                  "architecture": str(arch_path),
+                  "normalization_geom": str(norm_geom),
+                  "normalization_image": str(norm_image)},
+        "general": {"tile_size": 16, "batch_size": 4},
+        "output": {"directory": str(tmp_path / "eval_mp")},
+    }
+    cfg_path = tmp_path / "eval_mp.json"
+    cfg_path.write_text(json.dumps(eval_cfg))
+
+    import test as test_cli
+    _run_cli(test_cli.main, str(cfg_path), monkeypatch)
+
+    ds_out = tmp_path / "eval_mp" / "multipair"
+    for folder in ("Stereopair_0_1", "Stereopair_1_2"):
+        preds = list((ds_out / folder).glob("dsm_prediction_test_area*.tif"))
+        assert preds, (folder, list((ds_out / folder).iterdir()))
+        data = raster_mod.open_raster(str(preds[0])).band(1)
+        assert np.isfinite(data).all()
+        assert list((ds_out / folder).glob("*statistics.txt"))
+    agg = list(ds_out.glob("*mean_over_all_stereopairs.txt"))
+    assert agg, list(ds_out.iterdir())
+    text = agg[0].read_text()
+    assert "Statistics over all predictions" in text and "MAE" in text
+
+
 def test_train_multi_region(make_geotiff, tmp_path, monkeypatch):
     """Two training regions (ConcatDataset-equivalent): per-region loaders,
     interleaved epochs, per-raster-shape jit reuse."""
