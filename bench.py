@@ -53,21 +53,20 @@ def bench_tpu(compute_dtype_name: str = "float32") -> float:
     from resdepth_tpu.models.unet import (SERVING_PRECISION_MODES,
                                           serving_precision)
 
-    mixed = compute_dtype_name == "mixed"
     # String serving modes; see models.unet.serving_precision.
-    precision = layer_precisions = None
-    if compute_dtype_name in SERVING_PRECISION_MODES:
-        mixed, precision, layer_precisions = serving_precision(compute_dtype_name)
+    sm = (serving_precision(compute_dtype_name)
+          if compute_dtype_name in SERVING_PRECISION_MODES else None)
     compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
 
     @jax.jit
     def chain(params, bn_state, x):
         def body(i, carry):
-            if mixed or precision is not None:
+            if sm is not None:
                 y, _ = apply_unet(config, params, bn_state, carry,
-                                  train=False, mixed_precision=mixed,
-                                  precision=precision,
-                                  layer_precisions=layer_precisions)
+                                  train=False, mixed_precision=sm.mixed,
+                                  precision=sm.precision,
+                                  layer_precisions=sm.layer_precisions,
+                                  hifi_endpoints=sm.hifi_endpoints)
             else:
                 y, _ = apply_unet(config, params, bn_state,
                                   carry.astype(compute_dtype), train=False)

@@ -68,17 +68,16 @@ def _make_scene_fn(config: UNetConfig, spec: BatchSpec, shape, dsm_std,
         def body(carry, xs):
             pos, pair, wy, wx = xs
             batch = build_batch(rasters, pos, pair, zeros_bounds, key, spec)
-            if compute_dtype == "mixed":
-                pred, _ = apply_unet(config, params, bn_state, batch["input"],
-                                     train=False, mixed_precision=True)
-            elif compute_dtype in SERVING_PRECISION_MODES:
+            if compute_dtype in SERVING_PRECISION_MODES:
                 # String serving modes; see models.unet.serving_precision
                 # for the registry and the semantics of each mode.
-                mixed, prec, lp = serving_precision(compute_dtype)
+                sm = serving_precision(compute_dtype)
                 pred, _ = apply_unet(config, params, bn_state,
                                      batch["input"].astype(jnp.float32),
-                                     train=False, mixed_precision=mixed,
-                                     precision=prec, layer_precisions=lp)
+                                     train=False, mixed_precision=sm.mixed,
+                                     precision=sm.precision,
+                                     layer_precisions=sm.layer_precisions,
+                                     hifi_endpoints=sm.hifi_endpoints)
             else:
                 x = batch["input"].astype(compute_dtype)
                 pred, _ = apply_unet(config, params, bn_state, x, train=False)

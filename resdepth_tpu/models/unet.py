@@ -44,13 +44,27 @@ LRELU_SLOPE = 0.01
 PRELU_INIT = 0.25
 
 
-def serving_precision(mode: str):
-    """(mixed, precision, layer_precisions) for the string serving modes.
+@dataclasses.dataclass(frozen=True)
+class ServingMode:
+    """How ``apply_unet`` should execute one string serving mode.
 
-    ``mixed`` selects the bf16 activation trunk; ``precision`` /
-    ``layer_precisions`` control how the MXU rounds conv operands
-    (BASELINE.md attribution study):
+    ``mixed``: bf16 activation trunk (requires f32 input ``x``).
+    ``precision`` / ``layer_precisions``: MXU operand-rounding overrides.
+    ``hifi_endpoints``: full-fidelity endpoints on the bf16 trunk — the
+    first conv consumes the RAW f32 input and the (composed) final conv
+    runs from f32-upcast activations with f32 kernels.
+    """
+    mixed: bool = False
+    precision: object = None
+    layer_precisions: dict | None = None
+    hifi_endpoints: bool = False
 
+
+def serving_precision(mode: str) -> ServingMode:
+    """The registry behind every string ``compute_dtype`` serving mode
+    (BASELINE.md attribution studies):
+
+    - ``mixed``: bf16 conv stack, f32-accumulated height path.
     - ``fast32``: f32 storage, single-pass bf16 multiplicands everywhere.
     - ``act2pass``: f32 storage, activation operand split hi/lo over 2 MXU
       passes, weights single-rounded, every layer.
@@ -58,25 +72,28 @@ def serving_precision(mode: str):
       measured error sources — the first conv (raw ±2σ DSM multiplicands)
       and the final conv (absolute-height path) run 3-pass f32-HIGH.
       ≤0.2 cm mean trained-weights deviation across scenes.
-    - ``balanced16``: the balanced recipe on a bf16 activation trunk
-      (storage rounding is measured-negligible): first+last convs consume
-      f32 inputs with f32 kernels at 3-pass HIGH, everything between runs
-      native bf16.
+    - ``balanced16``: the balanced recipe on a bf16 activation trunk:
+      full-fidelity endpoints (``hifi_endpoints``) at 3-pass HIGH,
+      everything between runs native bf16. The bench headline mode.
 
-    The single registry behind ``predict_linear_blend(compute_dtype=...)``,
-    ``bench.py`` and ``scripts/precision_study.py``.
+    Consumed by ``predict_linear_blend(compute_dtype=...)``, ``bench.py``
+    and ``scripts/precision_study.py``.
     """
     H, D = jax.lax.Precision.HIGH, jax.lax.Precision.DEFAULT
     table = {
-        "fast32": (False, D, None),
-        "act2pass": (False, (H, D), None),
-        "balanced": (False, D, {"encoder0": H, "last": H}),
-        "balanced16": (True, None, {"encoder0": H, "last": H}),
+        "mixed": ServingMode(mixed=True),
+        "fast32": ServingMode(precision=D),
+        "act2pass": ServingMode(precision=(H, D)),
+        "balanced": ServingMode(precision=D,
+                                layer_precisions={"encoder0": H, "last": H}),
+        "balanced16": ServingMode(mixed=True, hifi_endpoints=True,
+                                  layer_precisions={"encoder0": H, "last": H}),
     }
     return table[mode]
 
 
-SERVING_PRECISION_MODES = ("fast32", "act2pass", "balanced", "balanced16")
+SERVING_PRECISION_MODES = ("mixed", "fast32", "act2pass", "balanced",
+                           "balanced16")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -423,17 +440,16 @@ def _depth_to_space4(y):
     return y.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, 1)
 
 
-def _composed_top(skip, d1, last, composed, mixed_precision, precision):
+def _composed_top(skip, d1, last, composed, mixed_precision, precision,
+                  hifi_endpoints=False):
     """Top pyramid level after ``fold_top_decoder``: final conv applied to the
     skip at full res plus the upconv-composed conv on half-res ``d1``."""
     prec = precision if precision is not None else _precision(skip)
 
-    if mixed_precision and precision is not None:
+    if mixed_precision and hifi_endpoints:
         # bf16-trunk serving with a full-fidelity top ('balanced16'): the
         # bf16 trunk activations are upcast and BOTH top convs run with f32
-        # kernels at the explicitly requested MXU precision (HIGH = 3-pass).
-        # The explicit ``precision`` is the discriminator: plain mixed
-        # serving never passes one.
+        # kernels at the requested MXU precision (HIGH = 3-pass).
         ys = _conv_same(skip.astype(jnp.float32),
                         last["kernel"].astype(jnp.float32), prec, jnp.float32)
         yd = _conv_same(d1.astype(jnp.float32),
@@ -473,7 +489,8 @@ def _composed_top(skip, d1, last, composed, mixed_precision, precision):
 def apply_unet(config: UNetConfig, params, state, x, *, train: bool = False,
                axis_name: str | None = None, sample_weights=None,
                mixed_precision: bool = False, precision=None,
-               layer_precisions: dict | None = None):
+               layer_precisions: dict | None = None,
+               hifi_endpoints: bool = False):
     """Forward pass. ``x``: (N, H, W, C) with the initial DSM as channel 0.
 
     Returns ``(y, new_state)`` where ``y`` is (N, H, W, 1) and ``new_state``
@@ -499,6 +516,13 @@ def apply_unet(config: UNetConfig, params, state, x, *, train: bool = False,
     ``decoder{i}``, ``last`` (the final conv; with a composed top, both its
     convs). Unlisted layers fall back to ``precision``. Used by the
     per-layer deviation-attribution study (BASELINE.md).
+
+    ``hifi_endpoints`` (requires ``mixed_precision``): full-fidelity
+    endpoints on the bf16 trunk — the FIRST conv consumes the raw f32
+    input (its ±2σ DSM multiplicands are the measured dominant error
+    source) with only its output joining the bf16 trunk, and the composed
+    top runs from f32-upcast activations with f32 kernels. The
+    'balanced16' serving mode (models.unet.serving_precision).
     """
     def _prec(name):
         if layer_precisions is not None and name in layer_precisions:
@@ -511,14 +535,8 @@ def apply_unet(config: UNetConfig, params, state, x, *, train: bool = False,
 
     for i, (block, block_state) in enumerate(zip(params["encoder"],
                                                  state["encoder"])):
-        if (mixed_precision and i == 0 and layer_precisions is not None
-                and "encoder0" in layer_precisions):
-            # bf16-trunk serving with a full-fidelity first conv
-            # ('balanced16'): the first conv consumes the RAW f32 input —
-            # its ±2σ DSM multiplicands are the measured dominant error
-            # source under bf16 rounding — and only its output joins the
-            # bf16 trunk.
-            out = x
+        if mixed_precision and hifi_endpoints and i == 0:
+            out = x  # full-fidelity first conv: raw f32 multiplicands
         out, ns = _conv_block(out, block, block_state, config.act_fn_encoder,
                               config.do_BN, train, axis_name, sample_weights,
                               _prec(f"encoder{i}"))
@@ -551,7 +569,7 @@ def apply_unet(config: UNetConfig, params, state, x, *, train: bool = False,
 
     if composed is not None:
         out = _composed_top(skips[0], out, params["last"], composed,
-                            mixed_precision, _prec("last"))
+                            mixed_precision, _prec("last"), hifi_endpoints)
         out = out.astype(jnp.float32 if mixed_precision else x.dtype)
     else:
         if mixed_precision:

@@ -260,14 +260,13 @@ def _bench_mode(config, state, mode: str) -> float:
     @jax.jit
     def chain(p, s, x):
         def body(i, carry):
-            if mode == "mixed":
+            if mode in SERVING_PRECISION_MODES:
+                sm = serving_precision(mode)
                 y, _ = apply_unet(fcfg, p, s, carry, train=False,
-                                  mixed_precision=True)
-            elif mode in SERVING_PRECISION_MODES:
-                mixed, prec, lp = serving_precision(mode)
-                y, _ = apply_unet(fcfg, p, s, carry, train=False,
-                                  mixed_precision=mixed, precision=prec,
-                                  layer_precisions=lp)
+                                  mixed_precision=sm.mixed,
+                                  precision=sm.precision,
+                                  layer_precisions=sm.layer_precisions,
+                                  hifi_endpoints=sm.hifi_endpoints)
             else:
                 dt = jnp.bfloat16 if mode == "bfloat16" else jnp.float32
                 y, _ = apply_unet(fcfg, p, s, carry.astype(dt), train=False)

@@ -118,7 +118,7 @@ def main() -> None:
     import jax.numpy as jnp
     from resdepth_tpu.models.unet import SERVING_PRECISION_MODES
     _dtype_name = cfg.general.get("compute_dtype")
-    if _dtype_name == "mixed" or _dtype_name in SERVING_PRECISION_MODES:
+    if _dtype_name in SERVING_PRECISION_MODES:
         compute_dtype = _dtype_name           # string serving mode
     elif _dtype_name == "bfloat16":
         compute_dtype = jnp.bfloat16
@@ -209,23 +209,29 @@ def main() -> None:
                         device_rasters = device_put_dataset(tile_ds)
                     pair_rasters = dataclasses.replace(
                         device_rasters, pairs=jnp.asarray(tile_ds.pairs_array))
+                    # Pipelining keeps the PREVIOUS pair's scene canvas on
+                    # device while this pair computes: only defer the fetch
+                    # when the extra canvas still fits the device budget.
+                    overlap = (scene_pixels + tile_ds.dsm_input.size
+                               <= MAX_DEVICE_PIXELS)
                     prediction = predict_linear_blend(
                         model_config, params, bn_state, tile_ds,
                         batch_size=batch_size, compute_dtype=compute_dtype,
                         rasters=pair_rasters, use_pallas=use_pallas, mesh=mesh,
-                        as_numpy=False)
-                job = (prediction, tile_ds, output_directory)
+                        as_numpy=not overlap)
+                pair_tag = (f" ({folder})" if image_pair is not None else "")
+                job = (prediction, tile_ds, output_directory, pair_tag)
 
             if pending is None:
                 pending = job
                 continue
-            prediction, tile_ds, output_directory = pending
+            prediction, tile_ds, output_directory, pair_tag = pending
             prediction = np.asarray(prediction)  # fetch; overlaps job's compute
             pending = job
 
             area_defn = dataset.area_defn
             if dataset.get("raster_gt"):
-                logger.info("Evaluate...")
+                logger.info(f"Evaluate{pair_tag}...")
                 stats_file = os.path.join(
                     output_directory,
                     f"{basename}_prediction{area_suffix}_statistics.txt")
@@ -244,7 +250,7 @@ def main() -> None:
                     dataset.mask_water, dataset.mask_forest, logger_stats,
                     RESIDUAL_THRESHOLD)
 
-                logger.info("\n\nSave prediction...")
+                logger.info(f"\n\nSave prediction{pair_tag}...")
                 num_regions = len(area_defn["x_extent"])
                 for i, (x_ext, y_ext) in enumerate(zip(area_defn["x_extent"],
                                                        area_defn["y_extent"])):
@@ -276,7 +282,7 @@ def main() -> None:
                                             nodata=-9999, dtype=np.float32)
                 logger.info(f"Write file: {stats_file}\n\n")
             else:
-                logger.info("\n\nSave prediction...")
+                logger.info(f"\n\nSave prediction{pair_tag}...")
                 num_regions = len(area_defn["x_extent"])
                 for i, (x_ext, y_ext) in enumerate(zip(area_defn["x_extent"],
                                                        area_defn["y_extent"])):

@@ -406,15 +406,17 @@ def test_predict_experimental_precision_modes(make_geotiff):
         out = predict_linear_blend(config, params, bn_state, ds, batch_size=3,
                                    compute_dtype=mode)
         assert np.isfinite(out).all()
-        bf16_trunk = serving_precision(mode)[0]
+        bf16_trunk = serving_precision(mode).mixed
         if bf16_trunk:
             # bf16 activation storage quantizes even on CPU; on a random-init
             # net a pre-activation near a ReLU boundary can flip at isolated
             # pixels, so assert at the distribution level.
             # Sanity bounds only — budget qualification happens on trained
-            # weights in scripts/precision_study.py, not on this random net.
+            # weights in scripts/precision_study.py, not on this random net
+            # (whose near-zero pre-activations can flip ReLU branches under
+            # bf16, producing isolated meter-scale outlier pixels).
             d = np.abs(out - ref)
-            assert d.mean() < 0.1 and d.max() < 5.0
+            assert d.mean() < 0.1 and np.percentile(d, 99) < 2.0
         else:
             # CPU executes every MXU precision as exact f32, so the
             # f32-storage modes agree tightly there; on TPU they deviate at
