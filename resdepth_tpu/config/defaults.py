@@ -87,7 +87,10 @@ def default_cfg() -> AttrDict:
         compute_dtype="float32",
         train_precision="high",  # 'high' (f32 parity) | 'default' (bf16 MXU
                                  # passes, +65% measured: 463 vs 280
-                                 # samples/sec) | 'highest';
+                                 # samples/sec) | 'highest' | 'balanced'
+                                 # ('default' + 3-pass HIGH first/last convs)
+                                 # | 'balanced16' (bf16 activation trunk with
+                                 # full-fidelity endpoints — near-bf16 speed);
                                  # compute_dtype='bfloat16' additionally uses
                                  # bf16 activation storage: fastest training
                                  # (708 samples/sec, 2.5x 'high'), ~1%

@@ -101,7 +101,7 @@ ACTIVATION_FUNCTIONS = ["relu", "lrelu", "prelu"]
 UPSAMPLING_MODES = ["transpose", "bilinear"]
 ALLOCATION_STRATEGIES = ["5-crossval_vertical", "5-crossval_horizontal", "entire"]
 COMPUTE_DTYPES = ["float32", "bfloat16", "mixed", "balanced", "balanced16"]
-TRAIN_PRECISIONS = ["high", "default", "highest"]
+TRAIN_PRECISIONS = ["high", "default", "highest", "balanced", "balanced16"]
 
 
 def n_views(multiview_config: str) -> int:

@@ -292,6 +292,14 @@ def _valid_tpu_args(cfg_user, logger) -> bool:
             tpu.train_precision, schema.TRAIN_PRECISIONS, "train_precision",
             logger):
         error = True
+    elif (tpu.get("train_precision") in ("balanced", "balanced16")
+          and tpu.get("compute_dtype") == "bfloat16"):
+        # The balanced modes' high-fidelity endpoints need the f32 batch
+        # input; 'balanced16' already runs the trunk in bf16 activations.
+        logger.error(f"tpu.train_precision '{tpu.train_precision}' requires "
+                     "compute_dtype 'float32' (balanced16 IS the bf16-trunk "
+                     "mode).\n")
+        error = True
     for key in ("data_parallel", "use_pallas", "donate_state"):
         if key in tpu and not is_boolean(tpu[key], key, logger):
             error = True

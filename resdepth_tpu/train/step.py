@@ -69,7 +69,10 @@ def _sharded(fn, mesh, batch_axis=0):
 def make_train_step(config: UNetConfig, spec: BatchSpec, tx, mesh=None,
                     axis_name: str = "data", compute_dtype=jnp.float32,
                     donate: bool = True, steps_per_call: int = 1,
-                    precision=None, weighted_bn: bool = True):
+                    precision=None, weighted_bn: bool = True,
+                    layer_precisions: dict | None = None,
+                    mixed_precision: bool = False,
+                    hifi_endpoints: bool = False):
     """Build the jitted train step.
 
     Signature: ``step(state, rasters, positions, pair_idx, bounds, weights,
@@ -81,6 +84,14 @@ def make_train_step(config: UNetConfig, spec: BatchSpec, tx, mesh=None,
     'default' = single-pass bf16 passes with f32 storage/accumulation —
     measured +38% throughput with demo-identical convergence; 'highest'
     available but pathological on v5e backward — BASELINE.md).
+
+    ``layer_precisions`` / ``mixed_precision`` / ``hifi_endpoints`` mirror
+    ``apply_unet`` and enable the balanced training modes: 'balanced' =
+    ``precision=DEFAULT`` with 3-pass HIGH on the two measured error-source
+    convs (first + last); 'balanced16' = bf16 activation trunk
+    (``mixed_precision``) with full-fidelity endpoints — the forward/backward
+    analogue of the serving modes of the same names. ``mixed_precision``
+    requires f32 batch input (keep ``compute_dtype`` float32).
 
     ``weighted_bn=False`` skips folding the 0/1 sample weights into the
     BatchNorm batch statistics — valid ONLY when every batch is full
@@ -114,7 +125,10 @@ def make_train_step(config: UNetConfig, spec: BatchSpec, tx, mesh=None,
                                       train=True, axis_name=axis,
                                       sample_weights=(weights if weighted_bn
                                                       else None),
-                                      precision=precision)
+                                      precision=precision,
+                                      layer_precisions=layer_precisions,
+                                      mixed_precision=mixed_precision,
+                                      hifi_endpoints=hifi_endpoints)
             loss, (num, den) = denormalized_masked_l1(
                 pred, batch["target"], batch["loss_mask"], batch["dsm_mean"],
                 spec.dsm_std, weights, axis)
@@ -156,7 +170,9 @@ def make_train_step(config: UNetConfig, spec: BatchSpec, tx, mesh=None,
 
 def make_eval_step(config: UNetConfig, spec: BatchSpec, mesh=None,
                    axis_name: str = "data", compute_dtype=jnp.float32,
-                   precision=None):
+                   precision=None, layer_precisions: dict | None = None,
+                   mixed_precision: bool = False,
+                   hifi_endpoints: bool = False):
     """Build the jitted eval step.
 
     Signature: ``eval_step(params, bn_state, rasters, positions, pair_idx,
@@ -171,7 +187,10 @@ def make_eval_step(config: UNetConfig, spec: BatchSpec, mesh=None,
         batch = build_batch(rasters, positions, pair_indices, bounds, rng, spec)
         x = batch["input"].astype(compute_dtype)
         pred, _ = apply_unet(config, params, bn_state, x, train=False,
-                             precision=precision)
+                             precision=precision,
+                             layer_precisions=layer_precisions,
+                             mixed_precision=mixed_precision,
+                             hifi_endpoints=hifi_endpoints)
         _, (num, den) = denormalized_masked_l1(
             pred, batch["target"], batch["loss_mask"], batch["dsm_mean"],
             spec.dsm_std, weights, None)

@@ -22,19 +22,40 @@ def _host_fingerprint() -> str:
     populated on one machine is simply cold (never poisonous) on another.
     TPU entries are target-keyed anyway, so scoping them too only costs a
     recompile after a host change.
+
+    The flags line alone is NOT enough: LLVM also derives tuning features
+    from the cpuid identity (family/model/stepping — e.g. scatter/gather
+    preference differs across microarchitectures with identical flag sets),
+    and a foreign AOT entry loaded under a colliding fingerprint has been
+    observed to crash in ThunkExecutor. Hash every identity line of the
+    first CPU block (x86: vendor_id/cpu family/model/model name/stepping/
+    flags; aarch64: CPU implementer/architecture/variant/part/revision/
+    Features).
     """
     try:
         with open("/proc/cpuinfo") as f:
-            for line in f:
-                # x86 spells it 'flags'; aarch64 spells it 'Features'.
-                if line.lower().startswith(("flags", "features")):
-                    feats = line.split(":", 1)[1]
-                    break
-            else:
-                feats = platform.processor()
+            text = f.read()
     except OSError:
-        feats = platform.processor()
-    raw = f"{platform.machine()}:{feats}".encode()
+        text = ""
+    return _fingerprint_from_cpuinfo(text)
+
+
+_IDENTITY_KEYS = ("flags", "features", "vendor_id", "cpu family", "model",
+                  "model name", "stepping", "cpu implementer",
+                  "cpu architecture", "cpu variant", "cpu part",
+                  "cpu revision")
+
+
+def _fingerprint_from_cpuinfo(text: str) -> str:
+    ident: list[str] = []
+    for line in text.splitlines():
+        if not line.strip():
+            break  # end of the first processor block
+        if line.lower().startswith(_IDENTITY_KEYS):
+            ident.append(line.strip())
+    if not ident:
+        ident = [platform.processor()]
+    raw = "\n".join([platform.machine(), *ident]).encode()
     return hashlib.sha256(raw).hexdigest()[:10]
 
 

@@ -88,6 +88,17 @@ def test_validate_train_rejects_bad_enum(make_geotiff, tmp_path):
     assert validate_train.validate_cfg_file(cfg, logger) is False
 
 
+def test_validate_train_balanced_precision_modes(make_geotiff, tmp_path):
+    for mode in ("balanced", "balanced16"):
+        cfg = _minimal_train_cfg(make_geotiff, tmp_path)
+        cfg.tpu = {"train_precision": mode}
+        assert validate_train.validate_cfg_file(cfg, logger) is True
+        # the balanced modes need the f32 batch input: bf16 storage conflicts
+        cfg = _minimal_train_cfg(make_geotiff, tmp_path)
+        cfg.tpu = {"train_precision": mode, "compute_dtype": "bfloat16"}
+        assert validate_train.validate_cfg_file(cfg, logger) is False
+
+
 def test_validate_train_rejects_bad_tile_size(make_geotiff, tmp_path):
     cfg = _minimal_train_cfg(make_geotiff, tmp_path)
     cfg.training_settings.tile_size = 100
@@ -259,3 +270,27 @@ def test_compilation_cache_host_scoped(tmp_path):
     assert host.startswith("host-") and len(host) == len("host-") + 10
     assert os.path.isdir(d1)
     assert compilation_cache.enable("off") is None
+
+
+def test_compilation_cache_fingerprint_identity_sensitive():
+    # LLVM derives AOT tuning from cpuid identity (family/model/stepping),
+    # not just the flags line — two hosts sharing a flags line but differing
+    # in model/stepping must get distinct cache directories (a colliding
+    # fingerprint loaded a foreign AOT entry that crashed in ThunkExecutor).
+    from resdepth_tpu.utils.compilation_cache import _fingerprint_from_cpuinfo
+
+    base = ("processor\t: 0\nvendor_id\t: GenuineIntel\ncpu family\t: 6\n"
+            "model\t\t: {model}\nmodel name\t: Intel Xeon\nstepping\t: {step}\n"
+            "flags\t\t: fpu avx2 avx512f\n\nprocessor\t: 1\nmodel\t\t: 99\n")
+    a = _fingerprint_from_cpuinfo(base.format(model=85, step=4))
+    b = _fingerprint_from_cpuinfo(base.format(model=143, step=4))
+    c = _fingerprint_from_cpuinfo(base.format(model=85, step=7))
+    assert len({a, b, c}) == 3
+    # identical first blocks fingerprint identically (second block ignored)
+    assert a == _fingerprint_from_cpuinfo(
+        base.format(model=85, step=4).replace("99", "123"))
+    # aarch64-style identity lines are picked up too
+    arm = ("processor\t: 0\nFeatures\t: fp asimd sve\nCPU implementer\t: 0x41\n"
+           "CPU part\t: 0xd4f\nCPU revision\t: 1\n")
+    assert _fingerprint_from_cpuinfo(arm) != _fingerprint_from_cpuinfo(
+        arm.replace("0xd4f", "0xd40"))

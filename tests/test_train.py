@@ -331,6 +331,55 @@ def test_bf16_train_step():
                for leaf in jax.tree_util.tree_leaves(state.params))
 
 
+def test_balanced_train_modes():
+    """The 'balanced'/'balanced16' training modes (train.py precision map):
+    both run, produce finite metrics, and keep f32 master weights. On CPU
+    MXU precision flags are no-ops, so 'balanced' must match 'default'
+    bitwise; 'balanced16' (true bf16 activation trunk) must track the f32
+    trajectory within bf16 tolerance."""
+    config, spec, rasters, positions, pair_idx, bounds, weights = _toy_setup(batch=4)
+    tx = build_optimizer("Adam", 1e-5)
+    H = jax.lax.Precision.HIGH
+    lp = {"encoder0": H, "last": H}
+
+    def run(steps=3, **kwargs):
+        params, bn = init_unet(jax.random.PRNGKey(0), config)
+        state = init_train_state(params, bn, tx, 1e-3)
+        step = make_train_step(config, spec, tx, mesh=None, donate=False,
+                               **kwargs)
+        metrics = []
+        for _ in range(steps):
+            state, metric = step(state, rasters, positions, pair_idx, bounds,
+                                 weights, jax.random.PRNGKey(1))
+            metrics.append(float(metric))
+        assert all(np.isfinite(m) for m in metrics), metrics
+        assert all(leaf.dtype == jnp.float32
+                   for leaf in jax.tree_util.tree_leaves(state.params))
+        return state, metrics
+
+    _, m_default = run(precision=jax.lax.Precision.DEFAULT)
+    _, m_balanced = run(precision=jax.lax.Precision.DEFAULT,
+                        layer_precisions=lp)
+    assert m_balanced == m_default
+
+    _, m_f32 = run()
+    _, m_b16 = run(mixed_precision=True, hifi_endpoints=True,
+                   layer_precisions=lp)
+    np.testing.assert_allclose(m_b16, m_f32, rtol=0.05)
+
+
+def test_balanced16_eval_step_runs():
+    config, spec, rasters, positions, pair_idx, bounds, weights = _toy_setup(batch=4)
+    params, bn = init_unet(jax.random.PRNGKey(0), config)
+    H = jax.lax.Precision.HIGH
+    ev = make_eval_step(config, spec, mesh=None, mixed_precision=True,
+                        hifi_endpoints=True,
+                        layer_precisions={"encoder0": H, "last": H})
+    num, den = ev(params, bn, rasters, positions, pair_idx, bounds, weights,
+                  jax.random.PRNGKey(0))
+    assert np.isfinite(float(num)) and float(den) > 0
+
+
 def test_profiler_trace_writes_files(tmp_path):
     from resdepth_tpu.utils import profiler
 

@@ -322,11 +322,23 @@ def main() -> None:
     # 'high' keeps the dtype-adaptive policy (models/unet.py::_precision:
     # 3-pass HIGH for f32, native single-pass for bf16 compute) rather than
     # forcing HIGH onto bf16 inputs, which would trigger a slow multi-pass
-    # upcast.
-    precision = {"high": None,
-                 "default": _jax.lax.Precision.DEFAULT,
-                 "highest": _jax.lax.Precision.HIGHEST}[
-        cfg.tpu.get("train_precision", "high")]
+    # upcast. 'balanced'/'balanced16' are the training analogues of the
+    # serving modes of the same names (BASELINE.md per-layer attribution):
+    # 1-pass bf16 MXU trunk with full-fidelity first + last convs;
+    # 'balanced16' additionally keeps trunk ACTIVATIONS in bf16
+    # (mixed_precision), so it needs the f32 batch input and is rejected
+    # alongside compute_dtype 'bfloat16' at validation.
+    _H = _jax.lax.Precision.HIGH
+    precision_kwargs = {
+        "high": dict(precision=None),
+        "default": dict(precision=_jax.lax.Precision.DEFAULT),
+        "highest": dict(precision=_jax.lax.Precision.HIGHEST),
+        "balanced": dict(precision=_jax.lax.Precision.DEFAULT,
+                         layer_precisions={"encoder0": _H, "last": _H}),
+        "balanced16": dict(precision=None, mixed_precision=True,
+                           hifi_endpoints=True,
+                           layer_precisions={"encoder0": _H, "last": _H}),
+    }[cfg.tpu.get("train_precision", "high")]
     # Weighted BN statistics are only needed when zero-weight padding can
     # occur; with full batches the unweighted path is numerically identical
     # and skips the weighted-moment passes (train/step.py).
@@ -336,7 +348,7 @@ def main() -> None:
                                  axis_name=cfg.tpu.mesh_axis,
                                  compute_dtype=compute_dtype,
                                  donate=cfg.tpu.donate_state,
-                                 precision=precision, weighted_bn=weighted_bn)
+                                 weighted_bn=weighted_bn, **precision_kwargs)
     steps_per_call = cfg.tpu.get("steps_per_call", 1)
     train_step_multi = None
     if steps_per_call > 1:
@@ -344,10 +356,11 @@ def main() -> None:
             model_config, train_spec, tx, mesh=mesh,
             axis_name=cfg.tpu.mesh_axis, compute_dtype=compute_dtype,
             donate=cfg.tpu.donate_state, steps_per_call=steps_per_call,
-            precision=precision, weighted_bn=weighted_bn)
+            weighted_bn=weighted_bn, **precision_kwargs)
     eval_step = make_eval_step(model_config, val_spec, mesh=mesh,
                                axis_name=cfg.tpu.mesh_axis,
-                               compute_dtype=compute_dtype)
+                               compute_dtype=compute_dtype,
+                               **precision_kwargs)
 
     train_loaders = [(device_put_dataset(ds),
                       BatchIndexIterator(ds, batch_size, shuffle=True,
