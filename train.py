@@ -328,17 +328,22 @@ def main() -> None:
     # 'balanced16' additionally keeps trunk ACTIVATIONS in bf16
     # (mixed_precision), so it needs the f32 batch input and is rejected
     # alongside compute_dtype 'bfloat16' at validation.
-    _H = _jax.lax.Precision.HIGH
-    precision_kwargs = {
-        "high": dict(precision=None),
-        "default": dict(precision=_jax.lax.Precision.DEFAULT),
-        "highest": dict(precision=_jax.lax.Precision.HIGHEST),
-        "balanced": dict(precision=_jax.lax.Precision.DEFAULT,
-                         layer_precisions={"encoder0": _H, "last": _H}),
-        "balanced16": dict(precision=None, mixed_precision=True,
-                           hifi_endpoints=True,
-                           layer_precisions={"encoder0": _H, "last": _H}),
-    }[cfg.tpu.get("train_precision", "high")]
+    train_precision = cfg.tpu.get("train_precision", "high")
+    if train_precision in ("balanced", "balanced16"):
+        # Reuse the serving registry entry of the same name — the training
+        # mode IS that recipe applied to the forward/backward pass.
+        from resdepth_tpu.models.unet import serving_precision
+        sm = serving_precision(train_precision)
+        precision_kwargs = dict(precision=sm.precision,
+                                layer_precisions=sm.layer_precisions,
+                                mixed_precision=sm.mixed,
+                                hifi_endpoints=sm.hifi_endpoints)
+    else:
+        precision_kwargs = {
+            "high": dict(precision=None),
+            "default": dict(precision=_jax.lax.Precision.DEFAULT),
+            "highest": dict(precision=_jax.lax.Precision.HIGHEST),
+        }[train_precision]
     # Weighted BN statistics are only needed when zero-weight padding can
     # occur; with full batches the unweighted path is numerically identical
     # and skips the weighted-moment passes (train/step.py).
