@@ -142,10 +142,13 @@ def bench_torch_cpu(n_threads: int | None = None) -> float:
 def bench_train_step(mode: str = "high") -> float | None:
     """Fused train-step throughput (samples/sec/chip) at the reference batch.
 
-    ``mode``: 'high' (f32 parity default) or 'bf16' (tpu.compute_dtype
-    bfloat16 — bf16 activation storage, fastest supported training mode).
-    Round-over-round training regressions show up in BENCH_r* through these
-    stderr lines (headline JSON metric unchanged)."""
+    ``mode``: 'high' (f32 parity default), 'balanced16'
+    (tpu.train_precision balanced16 — bf16 activation trunk with
+    full-fidelity endpoints, f32 master weights) or 'bf16'
+    (tpu.compute_dtype bfloat16 — bf16 activation storage, fastest
+    supported training mode). Round-over-round training regressions show
+    up in BENCH_r* through these stderr lines (headline JSON metric
+    unchanged)."""
     import jax
 
     from resdepth_tpu.data.pipeline import BatchSpec, DeviceRasters
@@ -170,10 +173,19 @@ def bench_train_step(mode: str = "high") -> float | None:
     tx = build_optimizer("Adam", 1e-5)
     params, bn = init_unet(jax.random.PRNGKey(0), config)
     state = init_train_state(params, bn, tx, 2e-4)
+    if mode == "balanced16":
+        from resdepth_tpu.models.unet import serving_precision
+        sm = serving_precision("balanced16")
+        mode_kwargs = dict(precision=sm.precision,
+                           layer_precisions=sm.layer_precisions,
+                           mixed_precision=sm.mixed,
+                           hifi_endpoints=sm.hifi_endpoints)
+    else:
+        mode_kwargs = {}
     step = make_train_step(config, spec, tx, mesh=None, donate=True,
                            steps_per_call=K,
                            compute_dtype=(jnp.bfloat16 if mode == "bf16"
-                                          else jnp.float32))
+                                          else jnp.float32), **mode_kwargs)
     key = jax.random.PRNGKey(0)
 
     def window(state):
@@ -195,7 +207,8 @@ def bench_train_step(mode: str = "high") -> float | None:
         state, dt = window(state)  # state is donated: thread it through
         times.append(dt)
     sps = K * B / min(times)
-    label = "f32-HIGH" if mode == "high" else "bf16 storage"
+    label = {"high": "f32-HIGH", "bf16": "bf16 storage",
+             "balanced16": "bf16 trunk, hifi endpoints"}[mode]
     log(f"[tpu/train/{mode}] {sps:.0f} samples/sec/chip "
         f"(batch {B}, {K}-step program, {label}; compile {compile_t:.0f}s)")
     return sps
@@ -220,6 +233,11 @@ def main() -> None:
     except Exception as exc:
         log(f"[tpu/train/high] skipped: {exc}")
         train_sps = None
+    try:
+        train_b16_sps = bench_train_step("balanced16")
+    except Exception as exc:
+        log(f"[tpu/train/balanced16] skipped: {exc}")
+        train_b16_sps = None
     try:
         train_bf16_sps = bench_train_step("bf16")
     except Exception as exc:
@@ -248,6 +266,8 @@ def main() -> None:
         parts.append(f"{mode}: {val:.0f} tiles/sec")
     if train_sps:
         parts.append(f"train: {train_sps:.0f} samples/sec")
+    if train_b16_sps:
+        parts.append(f"train-balanced16: {train_b16_sps:.0f} samples/sec")
     if train_bf16_sps:
         parts.append(f"train-bf16: {train_bf16_sps:.0f} samples/sec")
     log("[summary] " + "; ".join(parts))

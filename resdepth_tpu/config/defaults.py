@@ -88,9 +88,11 @@ def default_cfg() -> AttrDict:
         train_precision="high",  # 'high' (f32 parity) | 'default' (bf16 MXU
                                  # passes, +65% measured: 463 vs 280
                                  # samples/sec) | 'highest' | 'balanced'
-                                 # ('default' + 3-pass HIGH first/last convs)
-                                 # | 'balanced16' (bf16 activation trunk with
-                                 # full-fidelity endpoints — near-bf16 speed);
+                                 # ('default' + 3-pass HIGH first/last convs,
+                                 # 374 samples/sec) | 'balanced16' (bf16
+                                 # activation trunk with full-fidelity
+                                 # endpoints, 602 samples/sec = 2.05x 'high',
+                                 # 86% of full-bf16 speed);
                                  # compute_dtype='bfloat16' additionally uses
                                  # bf16 activation storage: fastest training
                                  # (708 samples/sec, 2.5x 'high'), ~1%

@@ -237,10 +237,11 @@ def main() -> None:
         "scheduler": {"enabled": True, "name": "StepLR",
                       "settings": {"step_size": 10}},
         "general": {"save_model_rate": 10, "evaluate_rate": 1, "random_seed": 0},
-        # Round-2 measured recommendations: 1-pass bf16 MXU training
-        # (+44% over the f32 parity mode, demo-identical convergence) and
-        # multi-step dispatch (BASELINE.md).
-        "tpu": {"train_precision": "default", "steps_per_call": 8},
+        # Round-2 measured recommendations: balanced16 training (bf16
+        # activation trunk with f32-HIGH first/last convs — 2.05x the f32
+        # parity mode, demo-identical convergence: val MAE 0.124 m,
+        # refined 0.079 m on the v5e) and multi-step dispatch (BASELINE.md).
+        "tpu": {"train_precision": "balanced16", "steps_per_call": 8},
         "output": {"output_directory": os.path.join(out_abs, "runs"),
                    "suffix": "demo"},
     }
