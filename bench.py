@@ -63,10 +63,7 @@ def bench_tpu(compute_dtype_name: str = "float32") -> float:
         def body(i, carry):
             if sm is not None:
                 y, _ = apply_unet(config, params, bn_state, carry,
-                                  train=False, mixed_precision=sm.mixed,
-                                  precision=sm.precision,
-                                  layer_precisions=sm.layer_precisions,
-                                  hifi_endpoints=sm.hifi_endpoints)
+                                  train=False, **sm.apply_kwargs())
             else:
                 y, _ = apply_unet(config, params, bn_state,
                                   carry.astype(compute_dtype), train=False)
@@ -175,11 +172,7 @@ def bench_train_step(mode: str = "high") -> float | None:
     state = init_train_state(params, bn, tx, 2e-4)
     if mode == "balanced16":
         from resdepth_tpu.models.unet import serving_precision
-        sm = serving_precision("balanced16")
-        mode_kwargs = dict(precision=sm.precision,
-                           layer_precisions=sm.layer_precisions,
-                           mixed_precision=sm.mixed,
-                           hifi_endpoints=sm.hifi_endpoints)
+        mode_kwargs = serving_precision("balanced16").apply_kwargs()
     else:
         mode_kwargs = {}
     step = make_train_step(config, spec, tx, mesh=None, donate=True,

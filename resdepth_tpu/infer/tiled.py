@@ -74,10 +74,7 @@ def _make_scene_fn(config: UNetConfig, spec: BatchSpec, shape, dsm_std,
                 sm = serving_precision(compute_dtype)
                 pred, _ = apply_unet(config, params, bn_state,
                                      batch["input"].astype(jnp.float32),
-                                     train=False, mixed_precision=sm.mixed,
-                                     precision=sm.precision,
-                                     layer_precisions=sm.layer_precisions,
-                                     hifi_endpoints=sm.hifi_endpoints)
+                                     train=False, **sm.apply_kwargs())
             else:
                 x = batch["input"].astype(compute_dtype)
                 pred, _ = apply_unet(config, params, bn_state, x, train=False)

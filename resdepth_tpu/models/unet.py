@@ -59,6 +59,16 @@ class ServingMode:
     layer_precisions: dict | None = None
     hifi_endpoints: bool = False
 
+    def apply_kwargs(self) -> dict:
+        """Kwargs for ``apply_unet`` / ``make_train_step`` / ``make_eval_step``.
+
+        The single unpacking point — every consumer (train.py precision
+        map, bench.py, scripts) must build its kwargs here so a new
+        ServingMode field cannot silently go stale at one call site."""
+        return dict(mixed_precision=self.mixed, precision=self.precision,
+                    layer_precisions=self.layer_precisions,
+                    hifi_endpoints=self.hifi_endpoints)
+
 
 def serving_precision(mode: str) -> ServingMode:
     """The registry behind every string ``compute_dtype`` serving mode

@@ -55,6 +55,19 @@ def _mesh_axes(mesh):
     return tuple(mesh.axis_names)
 
 
+def _check_mixed_precision_input(mixed_precision: bool, compute_dtype) -> None:
+    """The bf16-trunk modes need the RAW f32 batch input: with
+    ``compute_dtype`` bfloat16 the hifi first conv would consume an
+    already-rounded input and the mode silently degrades to plain bf16.
+    The train CLI rejects this at validation (validate_train.py); this
+    guards programmatic callers (bench, scripts, notebooks)."""
+    if mixed_precision and jnp.dtype(compute_dtype) != jnp.float32:
+        raise ValueError(
+            "mixed_precision (bf16 activation trunk) requires "
+            f"compute_dtype float32, got {jnp.dtype(compute_dtype).name}; "
+            "the trunk handles its own bf16 rounding.")
+
+
 def _sharded(fn, mesh, batch_axis=0):
     """shard_map wrapper: replicated state/rasters, batch axis sharded over
     ALL mesh axes, replicated (state, metric) outputs — psums inside keep
@@ -111,6 +124,7 @@ def make_train_step(config: UNetConfig, spec: BatchSpec, tx, mesh=None,
     round-trips.
     """
     axis = _mesh_axes(mesh) if mesh is not None else None
+    _check_mixed_precision_input(mixed_precision, compute_dtype)
 
     def step_fn(state: TrainState, rasters: DeviceRasters, positions,
                 pair_indices, bounds, weights, rng):
@@ -181,6 +195,7 @@ def make_eval_step(config: UNetConfig, spec: BatchSpec, mesh=None,
     the reference's per-batch AverageMeter, lib/Trainer.py:224-226).
     """
     axis = _mesh_axes(mesh) if mesh is not None else None
+    _check_mixed_precision_input(mixed_precision, compute_dtype)
 
     def eval_fn(params, bn_state, rasters, positions, pair_indices, bounds,
                 weights, rng):

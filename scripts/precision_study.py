@@ -263,10 +263,7 @@ def _bench_mode(config, state, mode: str) -> float:
             if mode in SERVING_PRECISION_MODES:
                 sm = serving_precision(mode)
                 y, _ = apply_unet(fcfg, p, s, carry, train=False,
-                                  mixed_precision=sm.mixed,
-                                  precision=sm.precision,
-                                  layer_precisions=sm.layer_precisions,
-                                  hifi_endpoints=sm.hifi_endpoints)
+                                  **sm.apply_kwargs())
             else:
                 dt = jnp.bfloat16 if mode == "bfloat16" else jnp.float32
                 y, _ = apply_unet(fcfg, p, s, carry.astype(dt), train=False)

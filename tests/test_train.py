@@ -368,6 +368,21 @@ def test_balanced_train_modes():
     np.testing.assert_allclose(m_b16, m_f32, rtol=0.05)
 
 
+def test_mixed_precision_rejects_bf16_input():
+    """API-layer guard: the bf16-trunk modes need the raw f32 batch input
+    (with bf16 compute_dtype the hifi first conv would consume an
+    already-rounded input and silently degrade to plain bf16). The CLI
+    rejects this at validation; programmatic callers get a ValueError."""
+    config, spec, *_ = _toy_setup(batch=4)
+    tx = build_optimizer("Adam", 1e-5)
+    with pytest.raises(ValueError, match="mixed_precision"):
+        make_train_step(config, spec, tx, mesh=None,
+                        compute_dtype=jnp.bfloat16, mixed_precision=True)
+    with pytest.raises(ValueError, match="mixed_precision"):
+        make_eval_step(config, spec, mesh=None,
+                       compute_dtype=jnp.bfloat16, mixed_precision=True)
+
+
 def test_balanced16_eval_step_runs():
     config, spec, rasters, positions, pair_idx, bounds, weights = _toy_setup(batch=4)
     params, bn = init_unet(jax.random.PRNGKey(0), config)

@@ -333,11 +333,7 @@ def main() -> None:
         # Reuse the serving registry entry of the same name — the training
         # mode IS that recipe applied to the forward/backward pass.
         from resdepth_tpu.models.unet import serving_precision
-        sm = serving_precision(train_precision)
-        precision_kwargs = dict(precision=sm.precision,
-                                layer_precisions=sm.layer_precisions,
-                                mixed_precision=sm.mixed,
-                                hifi_endpoints=sm.hifi_endpoints)
+        precision_kwargs = serving_precision(train_precision).apply_kwargs()
     else:
         precision_kwargs = {
             "high": dict(precision=None),
@@ -362,10 +358,13 @@ def main() -> None:
             axis_name=cfg.tpu.mesh_axis, compute_dtype=compute_dtype,
             donate=cfg.tpu.donate_state, steps_per_call=steps_per_call,
             weighted_bn=weighted_bn, **precision_kwargs)
+    # Validation always runs the f32 parity policy (dtype-adaptive HIGH),
+    # independent of train_precision: val MAE stays comparable across
+    # training modes and best-checkpoint selection is precision-stable.
+    # (Serving-precision deviation is studied separately — BASELINE.md.)
     eval_step = make_eval_step(model_config, val_spec, mesh=mesh,
                                axis_name=cfg.tpu.mesh_axis,
-                               compute_dtype=compute_dtype,
-                               **precision_kwargs)
+                               compute_dtype=compute_dtype)
 
     train_loaders = [(device_put_dataset(ds),
                       BatchIndexIterator(ds, batch_size, shuffle=True,
