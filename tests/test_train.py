@@ -160,6 +160,42 @@ def test_data_parallel_equivalence():
                                    rtol=1e-3, atol=2e-5)
 
 
+def test_data_parallel_equivalence_balanced16():
+    """The balanced16 recipe (bf16 activation trunk, hifi endpoints) under
+    8-device shard_map == single-device: the mixed-precision casts compose
+    with cross-replica BN psum/pmean and the gradient psum. Tolerances are
+    bf16-trunk-scale (the 1-vs-8 reduction-order difference rounds
+    differently through bf16 activations)."""
+    from resdepth_tpu.models.unet import serving_precision
+
+    config, spec, rasters, positions, pair_idx, bounds, weights = _toy_setup(batch=8)
+    tx = build_optimizer("Adam", 1e-5)
+    key = jax.random.PRNGKey(1)
+    kw = serving_precision("balanced16").apply_kwargs()
+
+    def run(mesh, steps=3):
+        params, bn = init_unet(jax.random.PRNGKey(0), config)
+        state = init_train_state(params, bn, tx, 1e-3)
+        step = make_train_step(config, spec, tx, mesh=mesh, donate=False, **kw)
+        metrics = []
+        for _ in range(steps):
+            state, metric = step(state, rasters, positions, pair_idx, bounds,
+                                 weights, key)
+            metrics.append(float(metric))
+        return state, metrics
+
+    state_1, metrics_1 = run(None)
+    state_8, metrics_8 = run(data_mesh(8))
+
+    assert all(np.isfinite(m) for m in metrics_1 + metrics_8)
+    np.testing.assert_allclose(metrics_1, metrics_8, rtol=5e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(state_1.params),
+                    jax.tree_util.tree_leaves(state_8.params)):
+        assert a.dtype == jnp.float32  # master weights stay f32
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-4)
+
+
 def test_eval_step_deterministic():
     config, spec, rasters, positions, pair_idx, bounds, weights = _toy_setup()
     params, bn = init_unet(jax.random.PRNGKey(0), config)
