@@ -213,10 +213,24 @@ def main() -> None:
     from resdepth_tpu.utils import compilation_cache
     compilation_cache.enable()  # repeat driver runs skip the slow compiles
 
+    # Soft deadline for the AUXILIARY measurements: on a fresh host the
+    # persistent compile cache is cold (host-fingerprint-scoped) and each
+    # mode can cost minutes of relay compile time; the headline, the f32
+    # parity path and the train lines must never be starved by aux modes.
+    t_start = time.perf_counter()
+    aux_deadline_s = float(os.environ.get("RESDEPTH_BENCH_AUX_DEADLINE", 1500))
+
+    def aux_time_left() -> bool:
+        return time.perf_counter() - t_start < aux_deadline_s
+
     tpu_headline = bench_tpu("balanced16")
     tpu_f32 = bench_tpu("float32")
     tpu_aux = {}
     for mode in ("balanced", "bfloat16", "mixed"):
+        if not aux_time_left():
+            log(f"[tpu/{mode}] skipped: aux deadline "
+                f"({aux_deadline_s:.0f}s) exceeded")
+            continue
         try:
             tpu_aux[mode] = bench_tpu(mode)
         except Exception as exc:  # auxiliary modes never fail the bench
@@ -226,16 +240,21 @@ def main() -> None:
     except Exception as exc:
         log(f"[tpu/train/high] skipped: {exc}")
         train_sps = None
-    try:
-        train_b16_sps = bench_train_step("balanced16")
-    except Exception as exc:
-        log(f"[tpu/train/balanced16] skipped: {exc}")
-        train_b16_sps = None
-    try:
-        train_bf16_sps = bench_train_step("bf16")
-    except Exception as exc:
-        log(f"[tpu/train/bf16] skipped: {exc}")
-        train_bf16_sps = None
+    train_b16_sps = train_bf16_sps = None
+    if aux_time_left():
+        try:
+            train_b16_sps = bench_train_step("balanced16")
+        except Exception as exc:
+            log(f"[tpu/train/balanced16] skipped: {exc}")
+    else:
+        log("[tpu/train/balanced16] skipped: aux deadline exceeded")
+    if aux_time_left():
+        try:
+            train_bf16_sps = bench_train_step("bf16")
+        except Exception as exc:
+            log(f"[tpu/train/bf16] skipped: {exc}")
+    else:
+        log("[tpu/train/bf16] skipped: aux deadline exceeded")
     torch_cpu = bench_torch_cpu(1)  # explicit single-thread baseline
     n_cores = os.cpu_count() or 1
     if n_cores > 1:
