@@ -84,7 +84,12 @@ DATASET_KEYS_OPTIONAL_eval = [
 MODEL_KEYS_eval = ["weights", "architecture", "normalization_geom", "normalization_image"]
 GENERAL_KEYS_eval = ["tile_size", "workers", "batch_size", "compute_dtype",
                      "data_parallel",
-                     "use_pallas"]
+                     "use_pallas",
+                     "tile_stride"]  # opt-in tile-grid stride (default
+                                     # tile_size/2 — the reference's fixed
+                                     # overlap, lib/DsmOrthoDataset.py:99-100;
+                                     # larger strides trade seam blending for
+                                     # up to ~4x less compute per scene)
 OUTPUT_KEYS_eval = ["directory"]
 
 # ------------------------------ Valid values ---------------------------- #

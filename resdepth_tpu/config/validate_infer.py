@@ -202,6 +202,25 @@ def _valid_general_args(cfg, logger) -> bool:
     if "use_pallas" in general and general.use_pallas != "fused" and \
             not is_boolean(general.use_pallas, "use_pallas", logger):
         error = True
+    if "tile_stride" in general:
+        if not is_positive_integer(general.tile_stride, "tile_stride", logger):
+            error = True
+        elif not (general.tile_size // 2 <= general.tile_stride
+                  <= general.tile_size):
+            # Below tile/2 more than two tiles overlap per axis and the
+            # linear blend is no longer a partition of unity (ops/blend.py).
+            logger.error(f"Invalid argument 'tile_stride': "
+                         f"{general.tile_stride} must lie in "
+                         f"[tile_size/2, tile_size] = "
+                         f"[{general.tile_size // 2}, "
+                         f"{general.tile_size}].\n")
+            error = True
+        elif general.tile_stride != general.tile_size // 2:
+            # Reference parity note, not an error: the reference always
+            # evaluates at stride = tile/2 (lib/DsmOrthoDataset.py:99-100).
+            logger.info(f"tile_stride {general.tile_stride} != tile_size/2 "
+                        f"({general.tile_size // 2}): output departs from "
+                        "reference-parity tiling (less/more seam overlap).\n")
     if "data_parallel" in general and not is_boolean(general.data_parallel,
                                                      "data_parallel", logger):
         error = True

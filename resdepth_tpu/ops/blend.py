@@ -17,8 +17,10 @@ Semantics per axis, given the tile's exclusive (non-overlap) bounds [ul, lr]
   * 0 beyond the leading ramp for edge-shifted tiles (ul > overlap).
 
 Partition of unity: for any grid produced by ``create_regular_grid`` with
-stride <= tile, the stitched weights sum to exactly 1 over the region
-(unit-tested).
+ceil(tile/2) <= stride <= tile, the stitched weights sum to exactly 1 over
+the region (unit-tested). Below tile/2 more than two tiles overlap per axis
+position and two linear ramps cannot sum to 1 — the config validator rejects
+such strides (`general.tile_stride`).
 """
 
 from __future__ import annotations
@@ -41,7 +43,11 @@ def axis_weights(tile_size: int, stride: int, ul: int, lr: int) -> np.ndarray:
         weights[:ul] = 0.0
         weights[lr + 1:] = 0.0
         return weights
-    ramp = np.linspace(0.0, 1.0, overlap, endpoint=True, dtype=np.float32)
+    if overlap == 1:
+        # linspace(0, 1, 1) = [0]: both tiles would zero the shared pixel.
+        ramp = np.full(1, 0.5, dtype=np.float32)
+    else:
+        ramp = np.linspace(0.0, 1.0, overlap, endpoint=True, dtype=np.float32)
 
     if ul > 0:
         if ul == overlap:

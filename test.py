@@ -127,6 +127,8 @@ def main() -> None:
     # 128 is the measured throughput knee on the v5e (BASELINE.md: +1.7%
     # only at 256); small scenes are capped to their per-device tile share.
     batch_size = cfg.general.get("batch_size", 128)
+    # None -> TileDataset's 'test' default, tile_size/2 (reference parity).
+    tile_stride = cfg.general.get("tile_stride")
     use_pallas = cfg.general.get("use_pallas")  # None = auto by platform
     # Tile batches shard over every available chip; each device accumulates a
     # partial scene and one psum over ICI merges them (infer/tiled.py).
@@ -189,6 +191,7 @@ def main() -> None:
                 tile_ds = TileDataset(
                     ds_entry, input_channels=cfg.model.input_channels,
                     tile_size=cfg.general.tile_size, sampling_strategy="test",
+                    stride=tile_stride,
                     dsm_mean=None, dsm_std=params_dsm["std"],
                     ortho_mean=params_images["mean"],
                     ortho_std=params_images["std"])

@@ -223,6 +223,36 @@ def test_validate_infer_use_pallas_modes(make_geotiff, tmp_path):
     assert check("sideways") is False
 
 
+def test_validate_infer_tile_stride(make_geotiff, tmp_path):
+    """general.tile_stride (opt-in eval knob) accepts [tile/2, tile] only:
+    the linear blend is a partition of unity exactly on that domain
+    (ops/blend.py); the reference has no stride knob (fixed tile/2)."""
+    raster = make_geotiff("dsm.tif", np.zeros((64, 64), np.float32))
+    arch = {"name": "UNet", "input_channels": "geom",
+            "settings": {"n_input_channels": 1, "depth": 2, "start_kernel": 4}}
+    arch_path = str(tmp_path / "model_config.json")
+    io.write_json(arch, arch_path)
+    weights_path = str(tmp_path / "weights.npz")
+    np.savez(weights_path, dummy=np.zeros(1))
+    norm_path = str(tmp_path / "norm.json")
+    io.write_json({"mean": None, "std": 1.0}, norm_path)
+
+    def check(value):
+        cfg = {
+            "datasets": [{"raster_in": raster}],
+            "model": {"weights": weights_path, "architecture": arch_path,
+                      "normalization_geom": norm_path},
+            "general": {"tile_size": 16, "tile_stride": value},
+            "output": {"directory": str(tmp_path / "eval_out")},
+        }
+        return validate_infer.validate_and_update_cfg_file(cfg, logger).status
+
+    for good in (8, 12, 15, 16):
+        assert check(good) is True, good
+    for bad in (0, 7, 17, -4, "half", 8.5):
+        assert check(bad) is False, bad
+
+
 def test_compute_dtype_serving_modes_are_eval_only(make_geotiff, tmp_path):
     """'mixed'/'balanced' are serving modes: the eval validator accepts them
     as general.compute_dtype; the train validator rejects them under tpu."""

@@ -284,12 +284,16 @@ def test_tiff_nan_nodata_roundtrip(tmp_path):
     assert np.isnan(info.nodata)
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", range(10))
 def test_create_regular_grid_property(seed):
     """Random regions: full coverage, in-bounds tiles, exclusive partition."""
     rng = np.random.default_rng(seed)
     tile = int(rng.choice([8, 16]))
-    stride = int(rng.choice([tile, tile // 2]))
+    # any tile/2 <= stride <= tile must blend to a partition of unity (the
+    # CLI exposes general.tile_stride beyond the reference's fixed tile/2;
+    # tile-1 exercises the degenerate 1-px overlap ramp)
+    stride = int(rng.choice([tile, tile // 2, 3 * tile // 4,
+                             tile // 2 + 1, tile - 1]))
     y0 = int(rng.integers(0, 5)); x0 = int(rng.integers(0, 5))
     y1 = y0 + tile + int(rng.integers(0, 40))
     x1 = x0 + tile + int(rng.integers(0, 40))

@@ -208,6 +208,27 @@ def test_predict_linear_blend_identity_model(make_geotiff):
     np.testing.assert_allclose(out, dsm, rtol=1e-4, atol=2e-3)
 
 
+def test_predict_linear_blend_custom_strides(make_geotiff):
+    """The opt-in tile_stride knob (general.tile_stride): with the identity
+    model the stitched scene must reproduce the input DSM for every stride in
+    the supported [tile/2, tile] domain — including tile-1 (degenerate 1-px
+    overlap ramp) and tile (no overlap)."""
+    paths, dsm, *_ = _scene(make_geotiff)
+    entry = {"raster_in": paths["raster_in"],
+             "area_defn": {"x_extent": [(0, 79)], "y_extent": [(0, 63)]}}
+    config = UNetConfig(n_input_channels=1, start_kernel=4, max_filter_depth=8,
+                        depth=2, do_BN=False, bias_conv_layer=False)
+    params, bn_state = init_unet(jax.random.PRNGKey(0), config)
+    params = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+    for stride in (8, 12, 15, 16):
+        ds = TileDataset(entry, input_channels="geom", tile_size=16,
+                         sampling_strategy="test", stride=stride, dsm_std=5.0)
+        out = predict_linear_blend(config, params, bn_state, ds, batch_size=4)
+        np.testing.assert_allclose(out, dsm, rtol=1e-4, atol=2e-3,
+                                   err_msg=f"stride={stride}")
+
+
 def test_predict_linear_blend_matches_host_stitch(make_geotiff):
     """Device scatter-add stitch == naive host stitching of per-tile outputs."""
     paths, dsm, *_ = _scene(make_geotiff, rows=48, cols=48)
