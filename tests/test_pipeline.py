@@ -287,8 +287,11 @@ def test_pallas_stitch_matches_xla_interpret():
                                rtol=1e-5, atol=1e-5)
 
 
-def test_streaming_inference_matches_full(make_geotiff):
-    """Band-streamed inference is identical to the HBM-resident path."""
+@pytest.mark.parametrize("stride", [None, 12])
+def test_streaming_inference_matches_full(make_geotiff, stride):
+    """Band-streamed inference is identical to the HBM-resident path —
+    including under a custom tile_stride (the bands split the dataset's
+    global grid, so the stride must flow through unchanged)."""
     from resdepth_tpu.infer import predict_linear_blend_streaming
 
     paths, dsm, _, images = _scene(make_geotiff, rows=96, cols=64)
@@ -296,8 +299,8 @@ def test_streaming_inference_matches_full(make_geotiff):
              "image_list": paths["image_list"], "image_pairs": [(0, 1)],
              "area_defn": {"x_extent": [(0, 63)], "y_extent": [(0, 95)]}}
     ds = TileDataset(entry, input_channels="geom-stereo", tile_size=16,
-                     sampling_strategy="test", dsm_std=5.0, ortho_mean=120.0,
-                     ortho_std=25.0)
+                     sampling_strategy="test", stride=stride, dsm_std=5.0,
+                     ortho_mean=120.0, ortho_std=25.0)
     config = UNetConfig(n_input_channels=3, start_kernel=4, max_filter_depth=8,
                         depth=2)
     params, bn = init_unet(jax.random.PRNGKey(0), config)
