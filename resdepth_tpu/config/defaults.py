@@ -103,7 +103,11 @@ def default_cfg() -> AttrDict:
         mesh_axis="data",
         dcn_slices=1,  # >1: 2-D (dcn, ici) mesh — multi-slice data parallelism
         use_pallas=True,
-        steps_per_call=1,
+        steps_per_call=8,  # optimizer steps fused into one jitted dispatch
+                           # (lax.scan). Semantically identical to 1
+                           # (tested); amortizes dispatch latency (measured
+                           # K-scan in BASELINE.md). Epoch tails shorter
+                           # than K fall back to per-step dispatch.
         profile_dir="",
         donate_state=True,
     )
