@@ -85,41 +85,57 @@ def main() -> None:
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}.get(
         args.mode, args.mode)
 
+    from resdepth_tpu.data.pipeline import device_put_dataset
+
     results = {}
     for stride in args.strides:
         ds = TileDataset(dataset, "geom-stereo", 256, "test", stride=stride,
                          dsm_std=sigma, ortho_mean=float(views.mean()),
                          ortho_std=float(views.std()), seed=0)
-        # warm (compile) pass, then best-of-2 timed e2e passes: host->device
-        # upload, gathered tile batches, stitch, full-scene fetch.
+        # e2e wall time (upload + compute + full-scene fetch) is dominated by
+        # host<->device transfer on relayed chips and noisy; the
+        # stride-sensitive part is the DEVICE path (gather + model + stitch),
+        # which the CLI amortizes by re-using uploaded rasters across image
+        # pairs. Time both: device-only (pre-uploaded, scalar-synced,
+        # best-of-3) and one e2e pass.
+        rasters = device_put_dataset(ds)
+        dev_times = []
         pred = None
-        times = []
-        for it in range(3):
+        for it in range(4):
             t0 = time.perf_counter()
             pred = predict_linear_blend(config, params, bn, ds,
-                                        batch_size=128, compute_dtype=dtype)
-            pred = np.asarray(pred)
-            dt = time.perf_counter() - t0
+                                        batch_size=128, compute_dtype=dtype,
+                                        rasters=rasters, as_numpy=False)
+            float(jnp.sum(pred))  # relay-safe completion sync
             if it:
-                times.append(dt)
-        results[stride] = (pred, min(times), len(ds))
+                dev_times.append(time.perf_counter() - t0)
+        pred = np.asarray(pred)
+        t0 = time.perf_counter()
+        e2e = np.asarray(predict_linear_blend(config, params, bn,
+                                              ds, batch_size=128,
+                                              compute_dtype=dtype))
+        e2e_t = time.perf_counter() - t0
+        np.testing.assert_allclose(e2e, pred, atol=1e-5)
+        results[stride] = (pred, min(dev_times), len(ds), e2e_t)
         print(f"[stride {stride:3d}] {len(ds):4d} tiles, "
-              f"{min(times):6.2f} s/scene", flush=True)
+              f"device {min(dev_times):6.2f} s/scene, e2e {e2e_t:6.2f} s",
+              flush=True)
 
     base_stride = min(args.strides)
     base = results[base_stride][0]
     valid = gt != -9999.0
     mae_in = float(np.abs(dsm_in - gt)[valid].mean())
     print(f"\nscene {rows}x{cols}, mode {args.mode}; input MAE {mae_in:.3f} m")
-    print(f"{'stride':>6s} {'tiles':>6s} {'s/scene':>8s} {'speedup':>8s} "
-          f"{'MAE(m)':>8s} {'dMAE(cm)':>9s} {'dev-vs-' + str(base_stride):>12s}")
+    print(f"{'stride':>6s} {'tiles':>6s} {'dev s':>7s} {'speedup':>8s} "
+          f"{'e2e s':>7s} {'MAE(m)':>8s} {'dMAE(cm)':>9s} "
+          f"{'dev-vs-' + str(base_stride):>12s}")
     base_t = results[base_stride][1]
     base_mae = float(np.abs(base - gt)[valid].mean())
     for stride in args.strides:
-        pred, t, n = results[stride]
+        pred, t, n, e2e_t = results[stride]
         mae = float(np.abs(pred - gt)[valid].mean())
         dev = float(np.abs(pred - base)[valid].mean()) * 100
-        print(f"{stride:6d} {n:6d} {t:8.2f} {base_t / t:7.2f}x "
+        print(f"{stride:6d} {n:6d} {t:7.2f} {base_t / t:7.2f}x {e2e_t:7.2f} "
               f"{mae:8.3f} {(mae - base_mae) * 100:+9.3f} {dev:9.3f}cm")
 
 
