@@ -78,9 +78,23 @@ def main() -> None:
 
     config = flagship_config("geom-stereo")
     params, bn = init_unet(jax.random.PRNGKey(0), config)
-    _, params, bn, _ = ckpt_io.load_checkpoint(
+    meta, params, bn, _ = ckpt_io.load_checkpoint(
         args.state_cache, params_template=params, bn_template=bn)
-    print(f"[weights] {args.state_cache}", flush=True)
+    # Scene-seed mismatch silently changes the training distribution (and
+    # normalization sigma) under the weights — refuse like precision_study.
+    cached_seed = (meta.get("study_key") or {}).get("scene_seed")
+    if cached_seed is not None and cached_seed != args.scene_seed:
+        sys.exit(f"ERROR: --state-cache was trained on scene seed "
+                 f"{cached_seed}, not --scene-seed {args.scene_seed}.")
+    print(f"[weights] {args.state_cache} "
+          f"(trained: {meta.get('study_key')})", flush=True)
+
+    # Fold BN + the composed top ONCE: folding inside predict would rebuild
+    # (and re-upload) the folded weights inside every timed call.
+    from resdepth_tpu.models.unet import fold_serving
+    config, params, bn = fold_serving(config, params, bn)
+    params = jax.device_put(params)
+    bn = jax.device_put(bn)
 
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}.get(
         args.mode, args.mode)
@@ -105,7 +119,8 @@ def main() -> None:
             t0 = time.perf_counter()
             pred = predict_linear_blend(config, params, bn, ds,
                                         batch_size=128, compute_dtype=dtype,
-                                        rasters=rasters, as_numpy=False)
+                                        rasters=rasters, as_numpy=False,
+                                        fold_bn=False)
             float(jnp.sum(pred))  # relay-safe completion sync
             if it:
                 dev_times.append(time.perf_counter() - t0)
@@ -113,7 +128,8 @@ def main() -> None:
         t0 = time.perf_counter()
         e2e = np.asarray(predict_linear_blend(config, params, bn,
                                               ds, batch_size=128,
-                                              compute_dtype=dtype))
+                                              compute_dtype=dtype,
+                                              fold_bn=False))
         e2e_t = time.perf_counter() - t0
         np.testing.assert_allclose(e2e, pred, atol=1e-5)
         results[stride] = (pred, min(dev_times), len(ds), e2e_t)
