@@ -207,11 +207,41 @@ def bench_train_step(mode: str = "high") -> float | None:
     return sps
 
 
+def _probe_backend(timeout_s: float) -> None:
+    """Fail fast (bounded) when the device backend cannot initialize.
+
+    A dead device tunnel makes ``jax.devices()`` hang indefinitely inside
+    native init (observed on relayed chips); probing in a subprocess turns
+    that into a clear bounded error instead of a silent driver timeout.
+    Skippable via RESDEPTH_BENCH_SKIP_PROBE=1.
+    """
+    import os
+    import subprocess
+
+    if os.environ.get("RESDEPTH_BENCH_SKIP_PROBE"):
+        return
+    code = "import jax; d = jax.devices(); print(d[0].platform)"
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True,
+                              timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        raise SystemExit(
+            f"ERROR: device backend init did not finish within {timeout_s:.0f}s "
+            "(dead device tunnel?); aborting the benchmark instead of hanging.")
+    if proc.returncode != 0:
+        raise SystemExit(
+            "ERROR: device backend failed to initialize:\n"
+            + proc.stderr.strip()[-2000:])
+    log(f"[probe] backend OK: {proc.stdout.strip().splitlines()[-1]}")
+
+
 def main() -> None:
     import os
 
     from resdepth_tpu.utils import compilation_cache
     compilation_cache.enable()  # repeat driver runs skip the slow compiles
+    _probe_backend(float(os.environ.get("RESDEPTH_BENCH_PROBE_TIMEOUT", 300)))
 
     # Soft deadline for the AUXILIARY measurements: on a fresh host the
     # persistent compile cache is cold (host-fingerprint-scoped) and each
