@@ -238,9 +238,130 @@ def predict_linear_blend_streaming(config: UNetConfig, params, bn_state,
 
     spec = _inference_spec(ds)
     wy_all, wx_all = blend.weight_table(tile, ds.stride, ds.valid_bounds)
-    order = np.argsort(ds.positions[:, 0], kind="stable")
     out = np.zeros(ds.dsm_input.shape, np.float32)
 
+    for window, band_idx, band_positions in _iter_bands(ds, rows_budget):
+        band_rasters = DeviceRasters(
+            dsm_input=jnp.asarray(ds.dsm_input[window]),
+            dsm_target=None,
+            orthos=(jnp.asarray(ds.orthos[window].transpose(2, 0, 1))
+                    if ds.orthos is not None else None),
+            pairs=jnp.asarray(ds.pairs_array),
+            nodata=jnp.asarray(ds.nodata, jnp.float32))
+
+        band_out = _predict_tiles(
+            config, params, bn_state, band_rasters, band_positions,
+            ds.pair_indices[band_idx], wy_all[band_idx], wx_all[band_idx],
+            (window.stop - window.start, cols), spec, ds.dsm_std, batch_size,
+            mesh, axis_name, compute_dtype, use_pallas)
+        out[window] += np.asarray(band_out)
+
+    return out
+
+
+def predict_linear_blend_scene_sharded(config: UNetConfig, params, bn_state,
+                                       ds: TileDataset, *,
+                                       max_device_pixels: int = 1 << 28,
+                                       batch_size: int = 64,
+                                       devices=None,
+                                       compute_dtype=jnp.float32,
+                                       use_pallas: bool | None = None,
+                                       fold_bn: bool = True) -> np.ndarray:
+    """Refine a scene too large for ONE chip's HBM using the whole slice.
+
+    The sequential streaming path (``predict_linear_blend_streaming``) bounds
+    device memory by processing row bands one at a time on one chip. This
+    path distributes the bands ACROSS the slice's chips instead: each band's
+    raster window is committed to its own device and the band programs are
+    dispatched asynchronously, so all chips compute concurrently while each
+    holds only its band — the scene capacity scales with the slice's
+    aggregate HBM and the wall-clock with its chip count, with no
+    collectives (the band canvases overlap-add on the host, which the
+    additive stitch makes exact — same argument as streaming).
+
+    Bands are padded to a common window height and tile count so every
+    device runs the same program shape. ``max_device_pixels`` bounds the
+    PER-DEVICE raster window exactly as in the streaming path; bands beyond
+    the device count process in waves (each wave's fetches complete before
+    the next dispatches, keeping one band resident per device).
+
+    The reference has no analogue (single GPU, host-resident rasters,
+    per-tile round trips — lib/evaluation.py:460-513).
+    """
+    import jax
+
+    if fold_bn:
+        from resdepth_tpu.models.unet import fold_serving
+        config, params, bn_state = fold_serving(config, params, bn_state)
+    if devices is None:
+        devices = jax.devices()
+    devices = list(devices)
+    if use_pallas is None:
+        use_pallas = devices[0].platform == "tpu"
+
+    tile = ds.tile_size
+    cols = ds.dsm_input.shape[1]
+    n_views = 0 if ds.orthos is None else ds.orthos.shape[2]
+    rows_budget = max(tile, int(max_device_pixels / (cols * (1 + n_views))))
+
+    spec = _inference_spec(ds)
+    wy_all, wx_all = blend.weight_table(tile, ds.stride, ds.valid_bounds)
+    bands = list(_iter_bands(ds, rows_budget))
+    # Uniform program shape across bands: common window height and tile
+    # count (zero-weight tile padding adds nothing to the stitch; padded
+    # window rows are never gathered by real tiles).
+    window_rows = max(w.stop - w.start for w, _, _ in bands)
+    n_tiles = max(len(idx) for _, idx, _ in bands)
+
+    replicated = {d: jax.device_put((params, bn_state), d)
+                  for d in devices[:len(bands)]}
+    pairs = np.asarray(ds.pairs_array)
+    nodata = np.float32(ds.nodata)
+
+    out = np.zeros(ds.dsm_input.shape, np.float32)
+    for wave_start in range(0, len(bands), len(devices)):
+        wave = bands[wave_start:wave_start + len(devices)]
+        pending = []
+        for (window, band_idx, band_positions), device in zip(wave, devices):
+            dsm_w = np.zeros((window_rows, cols), np.float32)
+            dsm_w[:window.stop - window.start] = ds.dsm_input[window]
+            if ds.orthos is not None:
+                orthos_w = np.zeros((n_views, window_rows, cols), np.float32)
+                orthos_w[:, :window.stop - window.start] = \
+                    ds.orthos[window].transpose(2, 0, 1)
+            band_rasters = DeviceRasters(
+                dsm_input=jax.device_put(dsm_w, device),
+                dsm_target=None,
+                orthos=(jax.device_put(orthos_w, device)
+                        if ds.orthos is not None else None),
+                pairs=jax.device_put(pairs, device),
+                nodata=jax.device_put(nodata, device))
+            d_params, d_bn = replicated[device]
+            band_out = _predict_tiles(
+                config, d_params, d_bn, band_rasters,
+                _pad_round_up(band_positions, n_tiles),
+                _pad_round_up(ds.pair_indices[band_idx], n_tiles),
+                _pad_round_up(wy_all[band_idx], n_tiles, 0.0),
+                _pad_round_up(wx_all[band_idx], n_tiles, 0.0),
+                (window_rows, cols), spec, ds.dsm_std, batch_size,
+                None, None, compute_dtype, use_pallas)
+            pending.append((window, band_out))
+        for window, band_out in pending:
+            out[window] += np.asarray(band_out)[:window.stop - window.start]
+    return out
+
+
+def _iter_bands(ds: TileDataset, rows_budget: int):
+    """Partition the tile grid into horizontal bands of <= rows_budget rows.
+
+    Yields ``(window, band_idx, band_positions)``: the band's raster row
+    slice, the indices of its tiles, and their positions rebased to the
+    window. Tiles are assigned to the band containing their top row, so
+    windows of adjacent bands overlap by < tile rows and the bands'
+    overlap-added canvases reproduce the full stitch exactly.
+    """
+    tile = ds.tile_size
+    order = np.argsort(ds.positions[:, 0], kind="stable")
     start = 0
     n = len(order)
     while start < n:
@@ -254,26 +375,8 @@ def predict_linear_blend_streaming(config: UNetConfig, params, bn_state,
             max_uly = max(max_uly, uly)
             end += 1
         window_rows = max_uly + tile - band_y0
-        window = slice(band_y0, band_y0 + window_rows)
-
         band_idx = order[start:end]
         band_positions = ds.positions[band_idx].copy()
         band_positions[:, 0] -= band_y0
-
-        band_rasters = DeviceRasters(
-            dsm_input=jnp.asarray(ds.dsm_input[window]),
-            dsm_target=None,
-            orthos=(jnp.asarray(ds.orthos[window].transpose(2, 0, 1))
-                    if ds.orthos is not None else None),
-            pairs=jnp.asarray(ds.pairs_array),
-            nodata=jnp.asarray(ds.nodata, jnp.float32))
-
-        band_out = _predict_tiles(
-            config, params, bn_state, band_rasters, band_positions,
-            ds.pair_indices[band_idx], wy_all[band_idx], wx_all[band_idx],
-            (window_rows, cols), spec, ds.dsm_std, batch_size, mesh,
-            axis_name, compute_dtype, use_pallas)
-        out[window] += np.asarray(band_out)
+        yield slice(band_y0, band_y0 + window_rows), band_idx, band_positions
         start = end
-
-    return out

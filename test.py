@@ -31,7 +31,9 @@ from resdepth_tpu.data.dataset import TileDataset
 from resdepth_tpu.data.pipeline import device_put_dataset
 from resdepth_tpu.evaluation import evaluate_performance, get_statistics, print_statistics
 from resdepth_tpu.geo import raster as raster_mod
-from resdepth_tpu.infer import predict_linear_blend, predict_linear_blend_streaming
+from resdepth_tpu.infer import (predict_linear_blend,
+                                predict_linear_blend_scene_sharded,
+                                predict_linear_blend_streaming)
 from resdepth_tpu.models import torch_import
 from resdepth_tpu.models.unet import init_unet, unet_config_from_settings
 from resdepth_tpu.train import checkpoint as ckpt_io
@@ -200,13 +202,27 @@ def main() -> None:
                 n_views = 0 if tile_ds.orthos is None else tile_ds.orthos.shape[2]
                 scene_pixels = tile_ds.dsm_input.size * (1 + n_views)
                 if scene_pixels > MAX_DEVICE_PIXELS:
-                    logger.info(f"Scene of {scene_pixels / 2**20:.0f} Mpx exceeds "
-                                "device budget; streaming row bands.")
-                    prediction = predict_linear_blend_streaming(
-                        model_config, params, bn_state, tile_ds,
-                        max_device_pixels=MAX_DEVICE_PIXELS,
-                        batch_size=batch_size, compute_dtype=compute_dtype,
-                        use_pallas=use_pallas, mesh=mesh)
+                    sharded = (cfg.general.get("data_parallel", True)
+                               and len(jax.devices()) > 1)
+                    logger.info(
+                        f"Scene of {scene_pixels / 2**20:.0f} Mpx exceeds "
+                        "device budget; "
+                        + (f"sharding row bands over {len(jax.devices())} "
+                           "devices." if sharded else "streaming row bands."))
+                    if sharded:
+                        # Bands distribute across the slice: aggregate-HBM
+                        # capacity, all chips concurrent (infer/tiled.py).
+                        prediction = predict_linear_blend_scene_sharded(
+                            model_config, params, bn_state, tile_ds,
+                            max_device_pixels=MAX_DEVICE_PIXELS,
+                            batch_size=batch_size, compute_dtype=compute_dtype,
+                            use_pallas=use_pallas)
+                    else:
+                        prediction = predict_linear_blend_streaming(
+                            model_config, params, bn_state, tile_ds,
+                            max_device_pixels=MAX_DEVICE_PIXELS,
+                            batch_size=batch_size, compute_dtype=compute_dtype,
+                            use_pallas=use_pallas, mesh=mesh)
                 else:
                     if device_rasters is None:
                         device_rasters = device_put_dataset(tile_ds)

@@ -204,6 +204,60 @@ def test_infer_from_torch_checkpoint(make_geotiff, tmp_path, monkeypatch):
     assert preds
 
 
+def test_infer_cli_scene_sharded_branch(make_geotiff, tmp_path, monkeypatch):
+    """The eval CLI's over-budget branch: with multiple devices the scene
+    shards row bands across them (predict_linear_blend_scene_sharded); the
+    exported raster must match the resident-path run bit-for-float."""
+    import torch
+    sys.path.insert(0, os.path.dirname(__file__))
+    from torch_unet import TorchUNet
+
+    paths, dsm, gt = _write_scene(make_geotiff, tmp_path)
+
+    torch.manual_seed(0)
+    settings = dict(n_input_channels=1, start_kernel=4, max_filter_depth=8,
+                    depth=2, act_fn_encoder="relu", act_fn_decoder="relu",
+                    act_fn_bottleneck="relu", up_mode="transpose", do_BN=True,
+                    bias_conv_layer=True, outer_skip=True, outer_skip_BN=False)
+    model = TorchUNet(**settings)
+    weights_path = tmp_path / "Model_best.pth"
+    torch.save({"epoch": 0, "model_state_dict": model.state_dict()},
+               str(weights_path))
+    arch_path = tmp_path / "model_config.json"
+    arch_path.write_text(json.dumps({
+        "name": "UNet", "input_channels": "geom", "settings": settings}))
+    import pickle
+    norm_path = tmp_path / "DSM_normalization_parameters.p"
+    with open(norm_path, "wb") as f:
+        pickle.dump({"mean": None, "std": 4.0}, f)
+
+    import test as test_cli
+
+    def run(outdir):
+        eval_cfg = {
+            "datasets": [{"raster_in": paths["raster_in"], "name": "scene"}],
+            "model": {"weights": str(weights_path),
+                      "architecture": str(arch_path),
+                      "normalization_geom": str(norm_path)},
+            "general": {"tile_size": 16},
+            "output": {"directory": str(tmp_path / outdir)},
+        }
+        cfg_path = tmp_path / f"eval_{outdir}.json"
+        cfg_path.write_text(json.dumps(eval_cfg))
+        _run_cli(test_cli.main, str(cfg_path), monkeypatch)
+        preds = list((tmp_path / outdir / "scene").glob("dsm_prediction*.tif"))
+        assert preds, outdir
+        return raster_mod.open_raster(str(preds[0])).band(1)
+
+    resident = run("eval_resident")
+    # 80x100 scene: budget of 32 window rows -> several bands over 8 devices
+    monkeypatch.setattr(test_cli, "MAX_DEVICE_PIXELS", 32 * 100)
+    import jax
+    assert len(jax.devices()) >= 2
+    sharded = run("eval_sharded")
+    np.testing.assert_allclose(sharded, resident, rtol=1e-5, atol=1e-4)
+
+
 def test_infer_multi_pair_aggregate(make_geotiff, tmp_path, monkeypatch):
     """Multi-pair inference: each pair refines the whole scene (pipelined
     dispatch in test.py), per-pair outputs + stats land in per-pair subdirs,

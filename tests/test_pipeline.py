@@ -313,6 +313,34 @@ def test_streaming_inference_matches_full(make_geotiff, stride):
     np.testing.assert_allclose(streamed, full, rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.parametrize("rows_budget_px", [32 * 64 * 4, 16 * 64 * 4])
+def test_scene_sharded_inference_matches_full(make_geotiff, rows_budget_px):
+    """Scene-sharded inference (row bands committed to DIFFERENT devices,
+    dispatched concurrently, host overlap-add) is identical to the resident
+    single-device path — including when bands outnumber devices (waves) and
+    bands need tile/window padding to the common program shape."""
+    from resdepth_tpu.infer import predict_linear_blend_scene_sharded
+
+    paths, dsm, _, images = _scene(make_geotiff, rows=144, cols=64)
+    entry = {"raster_in": paths["raster_in"],
+             "image_list": paths["image_list"], "image_pairs": [(0, 1)],
+             "area_defn": {"x_extent": [(0, 63)], "y_extent": [(0, 143)]}}
+    ds = TileDataset(entry, input_channels="geom-stereo", tile_size=16,
+                     sampling_strategy="test", dsm_std=5.0, ortho_mean=120.0,
+                     ortho_std=25.0)
+    config = UNetConfig(n_input_channels=3, start_kernel=4, max_filter_depth=8,
+                        depth=2)
+    params, bn = init_unet(jax.random.PRNGKey(0), config)
+
+    full = predict_linear_blend(config, params, bn, ds, batch_size=4)
+    devices = jax.devices()
+    assert len(devices) >= 2  # conftest forces the 8-device CPU mesh
+    sharded = predict_linear_blend_scene_sharded(
+        config, params, bn, ds, batch_size=4,
+        max_device_pixels=rows_budget_px, devices=devices)
+    np.testing.assert_allclose(sharded, full, rtol=1e-5, atol=1e-4)
+
+
 def test_batch_iterator_pads_with_distinct_samples(make_geotiff):
     paths, *_ = _scene(make_geotiff)
     ds = _dataset(paths)  # 8 samples
