@@ -184,6 +184,36 @@ def test_create_regular_grid_matches_reference(tile, stride, regions):
     assert list(map(tuple, got_excl)) == list(map(tuple, ref_excl))
 
 
+@pytest.mark.parametrize("tile,stride", [
+    (16, 8), (32, 16),       # reference-default stride = tile/2
+    (16, 10), (16, 12),      # custom strides in the general.tile_stride domain
+    (32, 20), (32, 24),
+])
+@pytest.mark.parametrize("rows,cols", [(70, 53), (64, 64), (37, 99)])
+def test_blend_weights_match_reference(ref_evaluation, tile, stride, rows,
+                                       cols):
+    """Per-tile linear-blend weights agree with the ACTUAL reference
+    `_get_blend_weights` (lib/evaluation.py:516-567) to f32 rounding, for
+    every tile of ragged-edge grids — including edge-shifted tiles (zero
+    band + full ramp) and the custom-stride domain. Our separable
+    outer-product form is exactly the reference's (T, T) image; the
+    deliberate divergences (overlap == 1 ramp, stride == tile) are
+    documented in ops/blend.py and unreachable here."""
+    from resdepth_tpu.geo.grid import create_regular_grid
+    from resdepth_tpu.ops import blend
+
+    area = {"x_extent": [(0, cols - 1)], "y_extent": [(0, rows - 1)]}
+    _, bounds = create_regular_grid(area, tile, stride)
+    assert len(bounds) >= 6
+    for b in bounds:
+        uly, ulx, lry, lrx = b
+        w_ref = ref_evaluation._get_blend_weights(tile, stride, ulx, uly,
+                                                  lrx, lry)
+        w_ours = blend.tile_weights(tile, stride, b)
+        np.testing.assert_allclose(w_ours, w_ref, rtol=0, atol=1e-7,
+                                   err_msg=f"bounds={tuple(b)}")
+
+
 def _write_pair_files(tmp_path, imagelist_lines, pairlist_lines):
     il = tmp_path / "imagelist.txt"
     il.write_text("\n".join(imagelist_lines) + "\n")
