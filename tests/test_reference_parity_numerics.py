@@ -184,6 +184,100 @@ def test_create_regular_grid_matches_reference(tile, stride, regions):
     assert list(map(tuple, got_excl)) == list(map(tuple, ref_excl))
 
 
+def _load_ref_utils(load_raster=None):
+    """lib/utils.py with its heavyweight framework imports stubbed (the
+    normalization functions under test are pure numpy + torch tensors)."""
+    ns = types.SimpleNamespace
+    return _load_with_stubs(
+        "lib/utils.py", "ref_utils",
+        extra_stubs={
+            "torchsummary": ns(summary=lambda *a, **k: None),
+            "lib.arguments": ns(),
+            "lib.data_allocation": ns(),
+            "lib.io_control_file": ns(),
+            "lib.rasterutils": ns(load_raster=load_raster),
+            "lib.config": ns(cfg=_EDict()),
+            "lib.DsmOrthoDataset": ns(DsmOrthoDataset=object),
+            "lib.formatter": ns(LeveledFormatter=object),
+            "lib.Trainer": ns(Trainer=object),
+            "lib.UNet": ns(UNet=object),
+        })
+
+
+def _sigma_fixture():
+    rng = np.random.default_rng(7)
+    dsm = rng.normal(400.0, 5.0, (80, 96)).astype(np.float32)
+    dsm[10:14, 3:9] = -9999.0          # nodata hole straddling patches
+    dsm[40, :] = -9999.0
+    positions = np.stack(np.meshgrid(np.arange(0, 64, 8), np.arange(0, 80, 8),
+                                     indexing="ij"), -1).reshape(-1, 2)
+    return dsm, positions
+
+
+def test_dsm_sigma_pass_matches_reference():
+    """The robust DSM sigma — the scale factor of the whole normalization —
+    agrees with the ACTUAL lib/utils.py:111-158 run over the same patches
+    (batch-1 dataloader, as train.py:115 builds it): the exact extended-
+    precision path to 1e-12 relative, the O(HW+N) summed-area-table
+    production path (train.py) to f64 rounding."""
+    import torch
+
+    from resdepth_tpu.data import normalization as ours
+
+    ref_utils = _load_ref_utils()
+    dsm, positions = _sigma_fixture()
+    tile = 16
+    patches = np.stack([dsm[y:y + tile, x:x + tile] for y, x in positions])
+    batches = [{"input": torch.from_numpy(p[None, None].copy()),
+                "nodata": torch.tensor([-9999.0])} for p in patches]
+    ref_std = ref_utils.compute_local_dsm_std_per_centered_patch(batches)
+
+    exact = ours.compute_local_dsm_std_per_centered_patch(patches, -9999.0)
+    assert abs(exact - ref_std) <= 1e-12 * ref_std
+    fast = ours.sigma_from_positions(dsm, -9999.0, positions, tile)
+    assert abs(fast - ref_std) <= 1e-8 * ref_std
+
+
+def test_image_normalization_matches_reference():
+    """Ortho radiance mean/std over training regions == the ACTUAL
+    lib/utils.py:161-200 (gdal reads stubbed to in-memory arrays; our
+    streaming f64 accumulation vs the reference's f32 concat-then-mean)."""
+    from resdepth_tpu.data import normalization as ours
+
+    rng = np.random.default_rng(11)
+    images = {f"/img_{i}.tif": rng.uniform(50.0, 900.0, (60, 72)).astype(np.float32)
+              for i in range(3)}
+
+    class _Band:
+        def __init__(self, arr):
+            self._arr = arr
+
+        def ReadAsArray(self):
+            return self._arr
+
+    class _DS:
+        def __init__(self, arr):
+            self._arr = arr
+
+        def GetRasterBand(self, _):
+            return _Band(self._arr)
+
+    ref_utils = _load_ref_utils(load_raster=lambda p: _DS(images[p]))
+    cfg_data = [_EDict(image_pairs=[(0, 1), (1, 2)],
+                       image_list=list(images),
+                       area_defn=_EDict(x_extent=[(0, 39), (10, 71)],
+                                        y_extent=[(0, 29), (30, 59)])),
+                _EDict(image_pairs=[(0, 2)],
+                       image_list=list(images),
+                       area_defn=_EDict(x_extent=[(5, 60)],
+                                        y_extent=[(5, 50)]))]
+    ref_mean, ref_std = ref_utils.compute_satellite_image_normalization(cfg_data)
+    got_mean, got_std = ours.compute_satellite_image_normalization(
+        cfg_data, open_band=lambda p: images[p])
+    np.testing.assert_allclose(got_mean, ref_mean, rtol=1e-5)
+    np.testing.assert_allclose(got_std, ref_std, rtol=1e-5)
+
+
 @pytest.mark.parametrize("tile,stride", [
     (16, 8), (32, 16),       # reference-default stride = tile/2
     (16, 10), (16, 12),      # custom strides in the general.tile_stride domain
