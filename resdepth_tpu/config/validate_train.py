@@ -52,6 +52,7 @@ def _valid_dataset_args(cfg_user, logger) -> bool:
 
     image_guided = _image_guided(cfg_user)
     errors = []
+    n_crossval = 0
 
     for i, dataset in enumerate(datasets):
         error = False
@@ -89,8 +90,9 @@ def _valid_dataset_args(cfg_user, logger) -> bool:
                         logger.error(f"The following image does not exist:\t{path}\n")
                         error = True
 
-            needs_training_pairs = "train" in dataset.get("area_type", "")
-            needs_val_pairs = "val" in dataset.get("area_type", "")
+            area_type = str(dataset.get("area_type", ""))
+            needs_training_pairs = "train" in area_type
+            needs_val_pairs = "val" in area_type
             if needs_training_pairs:
                 if "path_pairlist_training" not in dataset:
                     logger.error("Missing argument 'path_pairlist_training'.\n")
@@ -121,9 +123,24 @@ def _valid_dataset_args(cfg_user, logger) -> bool:
                 dataset.n_training_samples, "n_training_samples", logger):
             error = True
 
+        # 'entire' allocation dedicates the whole raster to one role, so a
+        # combined 'train+val' area_type is contradictory
+        # (lib/validate_cfg_training.py:361-368).
+        allocation = dataset.get(
+            "allocation_strategy",
+            cfg_user.get("general", {}).get("allocation_strategy",
+                                            default_cfg().general.allocation_strategy))
+        if allocation == "entire" and "+" in str(dataset.get("area_type", "")):
+            logger.error(f"'area_type' cannot be '{dataset.area_type}' with "
+                         "'allocation_strategy': 'entire'. Choose 'train' or "
+                         "'val', or a 5-crossval allocation.\n")
+            error = True
+
         if "crossval_training" in dataset and not is_boolean(
                 dataset.crossval_training, "crossval_training", logger):
             error = True
+        elif dataset.get("crossval_training"):
+            n_crossval += 1
 
         if error:
             logger.info("\n")
@@ -131,7 +148,32 @@ def _valid_dataset_args(cfg_user, logger) -> bool:
             logger.info(f"Dataset {i}: settings check ok.\n")
         errors.append(error)
 
-    return not any(errors)
+    ok = not any(errors)
+
+    # Every run needs at least one training and one validation area
+    # (lib/validate_cfg_training.py:385-401).
+    for role in ("train", "val"):
+        if not any(role in str(d.get("area_type", "")) for d in datasets):
+            logger.error(f"Specify at least one {role} dataset: no dataset's "
+                         f"'area_type' covers '{role}'. Choose among "
+                         f"{schema.DATASET_AREA_TYPES}.\n")
+            ok = False
+
+    # Cross-validation runs over exactly one dataset, split by a 5-crossval
+    # allocation (lib/validate_cfg_training.py:403-417).
+    if n_crossval > 1 or (n_crossval == 1 and len(datasets) > 1):
+        logger.error("Specify one dataset only to perform cross-validation "
+                     "(set 'area_type' to 'train+val' with a 5-crossval "
+                     "'allocation_strategy').\n")
+        ok = False
+    if n_crossval == 1 and len(datasets) == 1 and \
+            datasets[0].get("allocation_strategy") == "entire":
+        logger.error("Invalid allocation strategy 'entire' for "
+                     "cross-validation. Choose among "
+                     "['5-crossval_vertical', '5-crossval_horizontal'].\n")
+        ok = False
+
+    return ok
 
 
 def _valid_model_args(cfg_user, logger) -> bool:
@@ -162,15 +204,28 @@ def _valid_model_args(cfg_user, logger) -> bool:
             logger.error(f"Cannot find the pretrained model:\n{model.pretrained_path}\n")
             error = True
     # The long residual skip requires the initial DSM as channel 0
-    # (reference check: lib/validate_cfg_training.py model section).
-    if model.get("input_channels") == "stereo" and model.get("outer_skip", False):
+    # (reference check: lib/validate_cfg_training.py:504-515; note the
+    # reference default outer_skip=True applies when the key is absent).
+    if model.get("input_channels") == "stereo" and \
+            model.get("outer_skip", default_cfg().model.outer_skip):
         logger.error("'outer_skip' requires the initial DSM as input channel 0; it cannot "
                      "be combined with the image-only 'stereo' configuration.\n")
         error = True
     return not error
 
 
+def _input_channels(cfg_user) -> str:
+    return cfg_user.get("model", {}).get("input_channels",
+                                         default_cfg().model.input_channels)
+
+
 def _valid_multiview_args(cfg_user, logger) -> bool:
+    # The reference ignores (with a warning) the whole section unless the
+    # input configuration is multi-view (lib/validate_cfg_training.py:551-562).
+    if _input_channels(cfg_user) != "geom-multiview":
+        logger.warning("'input_channels' is not 'geom-multiview'; the "
+                       "'multiview' settings will be ignored.\n")
+        return True
     mv = cfg_user.multiview
     error = not all_keys_known(mv, schema.MULTIVIEW_KEYS, logger)
     if "config" in mv and not in_enum(mv.config, schema.MULTIVIEW_CONFIG, "config", logger):
@@ -179,6 +234,12 @@ def _valid_multiview_args(cfg_user, logger) -> bool:
 
 
 def _valid_stereo_args(cfg_user, logger) -> bool:
+    # Ignored (with a warning) for single-image and DSM-only inputs
+    # (lib/validate_cfg_training.py:593-608).
+    if _input_channels(cfg_user) in ("geom", "geom-mono"):
+        logger.warning("'input_channels' uses at most one image; the "
+                       "'stereopair_settings' will be ignored.\n")
+        return True
     stereo = cfg_user.stereopair_settings
     error = not all_keys_known(stereo, schema.STEREO_KEYS, logger)
     for key in schema.STEREO_KEYS:
@@ -208,6 +269,12 @@ def _valid_training_args(cfg_user, logger) -> bool:
 def _valid_optimizer_args(cfg_user, logger) -> bool:
     optimizer = cfg_user.get("optimizer", {})
     error = not all_keys_known(optimizer, schema.OPTIMIZER_KEYS, logger)
+    if "optimizer" in cfg_user and "name" not in optimizer:
+        # The reference demands an explicit optimizer name whenever the
+        # section appears (lib/validate_cfg_training.py:696-698).
+        logger.error("The optimizer is not specified. Choose among "
+                     f"{schema.OPTIMIZERS} to specify 'name'.\n")
+        error = True
     if "name" in optimizer and not in_enum(optimizer.name, schema.OPTIMIZERS, "name", logger):
         error = True
     if "learning_rate" in optimizer and not is_positive_number(
@@ -222,6 +289,20 @@ def _valid_optimizer_args(cfg_user, logger) -> bool:
 def _valid_scheduler_args(cfg_user, logger) -> bool:
     scheduler = cfg_user.get("scheduler", {})
     error = not all_keys_known(scheduler, schema.SCHEDULER_KEYS, logger)
+    if "scheduler" in cfg_user:
+        # The reference demands an explicit name and enabled flag whenever
+        # the section appears (lib/validate_cfg_training.py:745-760); we
+        # relax the name requirement for a disabled scheduler
+        # ({"enabled": false} needs no name — pinned divergence,
+        # docs/PARITY.md).
+        if "name" not in scheduler and scheduler.get("enabled", True):
+            logger.error("The learning rate scheduler is not specified. Choose "
+                         f"among {schema.SCHEDULERS} to specify 'name'.\n")
+            error = True
+        if "enabled" not in scheduler:
+            logger.error("Missing argument 'enabled'. Enable or disable the "
+                         "learning rate scheduler.\n")
+            error = True
     if "enabled" in scheduler and not is_boolean(scheduler.enabled, "enabled", logger):
         error = True
     if "name" in scheduler and not in_enum(scheduler.name, schema.SCHEDULERS, "name", logger):
@@ -248,8 +329,9 @@ def _valid_general_args(cfg_user, logger) -> bool:
                                                         zero_allowed=True):
         error = True
     if "random_seed" in general and general.random_seed is not None and \
-            type(general.random_seed) is not int:
-        logger.error("Invalid 'random_seed'. Specify an integer or null.\n")
+            (type(general.random_seed) is not int or general.random_seed < 0):
+        logger.error("Invalid 'random_seed'. Specify a non-negative integer "
+                     "or null.\n")
         error = True
     for key in ("save_model_rate", "evaluate_rate"):
         if key in general and not is_positive_integer(general[key], key, logger):

@@ -26,7 +26,29 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE),
 
 
 class _EDict(dict):
-    """Minimal easydict stand-in (attribute-style access)."""
+    """easydict stand-in: attribute-style access with the same recursive
+    wrapping of nested dicts and list/tuple elements the real package does
+    (the reference validators rely on `cfg.model.input_channels` etc. after
+    `edict(plain_nested_dict)`)."""
+
+    def __init__(self, d=None, **kwargs):
+        super().__init__()
+        for key, value in {**(dict(d) if d else {}), **kwargs}.items():
+            self[key] = value
+
+    @staticmethod
+    def _wrap(value):
+        if isinstance(value, dict) and not isinstance(value, _EDict):
+            return _EDict(value)
+        if isinstance(value, (list, tuple)):
+            return type(value)(_EDict._wrap(x) for x in value)
+        return value
+
+    def __setitem__(self, key, value):
+        super().__setitem__(key, self._wrap(value))
+
+    def __setattr__(self, key, value):
+        self[key] = value
 
     def __getattr__(self, key):
         try:
@@ -34,8 +56,9 @@ class _EDict(dict):
         except KeyError as exc:
             raise AttributeError(key) from exc
 
-    def __setattr__(self, key, value):
-        self[key] = value
+    def update(self, other=None, **kwargs):
+        for key, value in {**(dict(other) if other else {}), **kwargs}.items():
+            self[key] = value
 
 
 def _load_with_stubs(relpath, module_name, extra_stubs=None):
