@@ -24,9 +24,7 @@ from resdepth_tpu.utils.logging import setup_logger
 
 
 def _image_guided(cfg_user) -> bool:
-    channels = cfg_user.get("model", {}).get("input_channels",
-                                             default_cfg().model.input_channels)
-    return channels != "geom"
+    return _input_channels(cfg_user) != "geom"
 
 
 def _check_txt_file(value, key, logger) -> bool:
