@@ -210,30 +210,23 @@ def bench_train_step(mode: str = "high") -> float | None:
 def _probe_backend(timeout_s: float) -> None:
     """Fail fast (bounded) when the device backend cannot initialize.
 
-    A dead device tunnel makes ``jax.devices()`` hang indefinitely inside
-    native init (observed on relayed chips); probing in a subprocess turns
-    that into a clear bounded error instead of a silent driver timeout.
-    Skippable via RESDEPTH_BENCH_SKIP_PROBE=1.
+    Shared probe (utils/backend_probe.py): a dead device tunnel makes
+    ``jax.devices()`` hang indefinitely inside native init; probing in a
+    subprocess turns that into a clear bounded error instead of a silent
+    driver timeout. Skippable via RESDEPTH_BENCH_SKIP_PROBE=1.
     """
     import os
-    import subprocess
+
+    from resdepth_tpu.utils.backend_probe import BackendUnavailable, probe_backend
 
     if os.environ.get("RESDEPTH_BENCH_SKIP_PROBE"):
         return
-    code = "import jax; d = jax.devices(); print(d[0].platform)"
     try:
-        proc = subprocess.run([sys.executable, "-c", code],
-                              capture_output=True, text=True,
-                              timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        raise SystemExit(
-            f"ERROR: device backend init did not finish within {timeout_s:.0f}s "
-            "(dead device tunnel?); aborting the benchmark instead of hanging.")
-    if proc.returncode != 0:
-        raise SystemExit(
-            "ERROR: device backend failed to initialize:\n"
-            + proc.stderr.strip()[-2000:])
-    log(f"[probe] backend OK: {proc.stdout.strip().splitlines()[-1]}")
+        platform = probe_backend(timeout_s=timeout_s)
+    except BackendUnavailable as exc:
+        raise SystemExit(f"ERROR: {exc}")
+    if platform:
+        log(f"[probe] backend OK: {platform}")
 
 
 def main() -> None:

@@ -84,6 +84,13 @@ def main() -> None:
     cfg_orig = cfg_io.read_json(cfg_file)
     add_file_logger(logger, log_file=os.path.join(cfg.output.directory, "run.log"))
 
+    from resdepth_tpu.utils.backend_probe import BackendUnavailable, probe_backend
+    try:
+        probe_backend(logger=logger)
+    except BackendUnavailable as exc:
+        logger.error(str(exc))
+        sys.exit(1)
+
     from resdepth_tpu.utils import compilation_cache
     cache_dir = compilation_cache.enable()
     if cache_dir:

@@ -631,3 +631,37 @@ def test_two_d_mesh_equivalence():
                     jax.tree_util.tree_leaves(state_24.bn_state)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=2e-5)
+
+
+def test_backend_probe_skip_paths(monkeypatch):
+    """The bounded backend probe is skipped for host-CPU targets and via the
+    explicit opt-out, and a timed-out probe raises BackendUnavailable."""
+    import subprocess
+
+    from resdepth_tpu.utils import backend_probe
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert backend_probe.probe_backend() is None
+
+    monkeypatch.setenv("JAX_PLATFORMS", "")
+    monkeypatch.setenv("RESDEPTH_SKIP_BACKEND_PROBE", "1")
+    assert backend_probe.probe_backend() is None
+    monkeypatch.delenv("RESDEPTH_SKIP_BACKEND_PROBE")
+
+    def fake_run(*args, **kwargs):
+        raise subprocess.TimeoutExpired(cmd=args[0], timeout=kwargs["timeout"])
+
+    monkeypatch.setattr(backend_probe.subprocess, "run", fake_run)
+    with pytest.raises(backend_probe.BackendUnavailable, match="did not finish"):
+        backend_probe.probe_backend(timeout_s=1)
+
+    def fake_run_fail(*args, **kwargs):
+        class P:
+            returncode = 1
+            stdout = ""
+            stderr = "RuntimeError: no devices"
+        return P()
+
+    monkeypatch.setattr(backend_probe.subprocess, "run", fake_run_fail)
+    with pytest.raises(backend_probe.BackendUnavailable, match="failed to initialize"):
+        backend_probe.probe_backend(timeout_s=1)

@@ -153,6 +153,13 @@ def main() -> None:
     seed = cfg.general.random_seed if cfg.general.random_seed is not None else 0
     np.random.seed(seed)
 
+    from resdepth_tpu.utils.backend_probe import BackendUnavailable, probe_backend
+    try:
+        probe_backend(logger=logger)
+    except BackendUnavailable as exc:
+        logger.error(str(exc))
+        sys.exit(1)
+
     from resdepth_tpu.utils import compilation_cache
     cache_dir = compilation_cache.enable()
     if cache_dir:
