@@ -24,6 +24,22 @@ class BackendUnavailable(RuntimeError):
     pass
 
 
+def _platform_pinned_to_cpu() -> bool:
+    """True when the JAX platform is pinned to the host CPU — via the env
+    var, or via in-process config (``jax.config.update("jax_platforms",
+    "cpu")``, the test-conftest pattern; a subprocess would NOT inherit that
+    and would probe the real device)."""
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+        return True
+    jax_mod = sys.modules.get("jax")
+    if jax_mod is not None:
+        try:
+            return "cpu" in str(jax_mod.config.jax_platforms or "").lower()
+        except Exception:
+            pass
+    return False
+
+
 def probe_backend(timeout_s: float | None = None, logger=None) -> str | None:
     """Check that the JAX backend can initialize, in a bounded subprocess.
 
@@ -32,7 +48,7 @@ def probe_backend(timeout_s: float | None = None, logger=None) -> str | None:
     """
     if os.environ.get("RESDEPTH_SKIP_BACKEND_PROBE"):
         return None
-    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+    if _platform_pinned_to_cpu():
         return None
     if timeout_s is None:
         timeout_s = float(os.environ.get("RESDEPTH_BACKEND_PROBE_TIMEOUT", 300))

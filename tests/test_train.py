@@ -648,6 +648,10 @@ def test_backend_probe_skip_paths(monkeypatch):
     assert backend_probe.probe_backend() is None
     monkeypatch.delenv("RESDEPTH_SKIP_BACKEND_PROBE")
 
+    # force the probe past the CPU-pin short-circuit (this test process IS
+    # pinned to CPU by the conftest) to exercise the failure branches
+    monkeypatch.setattr(backend_probe, "_platform_pinned_to_cpu", lambda: False)
+
     def fake_run(*args, **kwargs):
         raise subprocess.TimeoutExpired(cmd=args[0], timeout=kwargs["timeout"])
 
@@ -665,3 +669,20 @@ def test_backend_probe_skip_paths(monkeypatch):
     monkeypatch.setattr(backend_probe.subprocess, "run", fake_run_fail)
     with pytest.raises(backend_probe.BackendUnavailable, match="failed to initialize"):
         backend_probe.probe_backend(timeout_s=1)
+
+
+def test_backend_probe_skips_for_in_process_cpu_config(monkeypatch):
+    """jax.config.update('jax_platforms', 'cpu') (no env var — the conftest
+    pattern) must also skip the subprocess probe: the child would not inherit
+    the in-process config and would probe the real device."""
+    from resdepth_tpu.utils import backend_probe
+
+    monkeypatch.setenv("JAX_PLATFORMS", "")
+    monkeypatch.delenv("RESDEPTH_SKIP_BACKEND_PROBE", raising=False)
+
+    def boom(*args, **kwargs):
+        raise AssertionError("subprocess probe must not run")
+
+    monkeypatch.setattr(backend_probe.subprocess, "run", boom)
+    # conftest already set jax.config jax_platforms to "cpu" in this process
+    assert backend_probe.probe_backend(timeout_s=1) is None
