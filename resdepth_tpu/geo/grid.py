@@ -17,6 +17,37 @@ from __future__ import annotations
 import numpy as np
 
 
+def _axis_tiles(a: int, b: int, tile: int, stride: int):
+    """Tile starts + forward-exclusive tile-local bounds along one axis.
+
+    Closed form of the reference's marching loop over the inclusive pixel
+    range ``[a, b]`` (tiles advance by ``stride``; the final tile is shifted
+    inward so its trailing edge lands on ``b``):
+      * ``starts[k] = a + k*stride``, except the last, clamped to
+        ``b - tile + 1``;
+      * exclusive bounds ``[lo, hi]`` (tile-local): the first tile owns its
+        leading ``stride`` pixels (``[0, stride-1]``), every later tile owns
+        ``[tile-stride, stride-1]``; the clamp adds the inward shift to the
+        last tile's ``lo`` and extends its ``hi`` to the tile edge.
+    Degenerate ranges (``a >= b``) produce no tiles, exactly like the
+    reference's ``while`` condition.
+    """
+    if a >= b:
+        empty = np.empty(0, np.int64)
+        return empty, empty, empty
+    span = b - a + 1
+    n = 1 if tile >= span else 1 - ((span - tile) // -stride)  # ceil div
+    starts = a + stride * np.arange(n, dtype=np.int64)
+    lo = np.full(n, tile - stride, np.int64)
+    hi = np.full(n, stride - 1, np.int64)
+    lo[0] = 0
+    shift = int(starts[-1]) + tile - 1 - b          # inward clamp distance
+    starts[-1] = b - tile + 1
+    lo[-1] += shift
+    hi[-1] = tile - 1
+    return starts, lo, hi
+
+
 def create_regular_grid(area_defn, tile_size: int, stride: int | None = None):
     """Enumerate (possibly overlapping) tiles covering each region.
 
@@ -25,6 +56,9 @@ def create_regular_grid(area_defn, tile_size: int, stride: int | None = None):
       region_wo_overlap[i] = (border_uly, border_ulx, border_lry, border_lrx):
         tile-local pixel bounds of the part of tile i not covered by any
         earlier tile along each axis.
+
+    The grid separates per axis, so each region is the cross product of two
+    1-D tilings (:func:`_axis_tiles`), emitted row-major.
     """
     if stride is None:
         stride = tile_size
@@ -33,45 +67,13 @@ def create_regular_grid(area_defn, tile_size: int, stride: int | None = None):
     region_wo_overlap: list[tuple[int, int, int, int]] = []
 
     for x_ext, y_ext in zip(area_defn["x_extent"], area_defn["y_extent"]):
-        x0, x1 = int(x_ext[0]), int(x_ext[1])
-        y0, y1 = int(y_ext[0]), int(y_ext[1])
-
-        uly = y0
-        lry = y0
-        border_uly = 0
-        border_lry = stride - 1
-
-        while lry < y1:
-            ulx = x0
-            lrx = x0
-            border_ulx = 0
-            border_lrx = stride - 1
-
-            lry = uly + tile_size - 1
-            if lry >= y1:
-                # Shift the tile upward so its bottom edge meets the border.
-                border_uly += lry - y1
-                lry = y1
-                uly = y1 - tile_size + 1
-                border_lry = tile_size - 1
-
-            while lrx < x1:
-                lrx = ulx + tile_size - 1
-                if lrx >= x1:
-                    border_ulx += lrx - x1
-                    lrx = x1
-                    ulx = x1 - tile_size + 1
-                    border_lrx = tile_size - 1
-
-                tile_position.append((int(uly), int(ulx)))
-                region_wo_overlap.append(
-                    (int(border_uly), int(border_ulx), int(border_lry), int(border_lrx)))
-
-                ulx += stride
-                border_ulx = tile_size - stride
-
-            uly += stride
-            border_uly = tile_size - stride
+        xs, xlo, xhi = _axis_tiles(int(x_ext[0]), int(x_ext[1]), tile_size, stride)
+        ys, ylo, yhi = _axis_tiles(int(y_ext[0]), int(y_ext[1]), tile_size, stride)
+        for y, lo_y, hi_y in zip(ys.tolist(), ylo.tolist(), yhi.tolist()):
+            tile_position.extend((y, x) for x in xs.tolist())
+            region_wo_overlap.extend(
+                (lo_y, lo_x, hi_y, hi_x)
+                for lo_x, hi_x in zip(xlo.tolist(), xhi.tolist()))
 
     return tile_position, region_wo_overlap
 
