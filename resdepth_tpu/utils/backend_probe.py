@@ -24,19 +24,30 @@ class BackendUnavailable(RuntimeError):
     pass
 
 
+def _primary_platform(spec: str) -> str:
+    """First entry of a comma-separated ``jax_platforms`` list — the platform
+    JAX will actually target. Trailing entries are fallbacks (some hosts pin
+    ``'axon,cpu'``: the CPU is only reached if the device backend fails)."""
+    return spec.split(",")[0].strip().lower()
+
+
 def _platform_pinned_to_cpu() -> bool:
     """True when the JAX platform is pinned to the host CPU — via the env
     var, or via in-process config (``jax.config.update("jax_platforms",
     "cpu")``, the test-conftest pattern; a subprocess would NOT inherit that
-    and would probe the real device)."""
-    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+    and would probe the real device). A list like ``'axon,cpu'`` is NOT
+    pinned: its primary target is the tunneled device, which can still hang."""
+    env_spec = os.environ.get("JAX_PLATFORMS", "")
+    if env_spec and _primary_platform(env_spec) == "cpu":
         return True
     jax_mod = sys.modules.get("jax")
     if jax_mod is not None:
         try:
-            return "cpu" in str(jax_mod.config.jax_platforms or "").lower()
+            spec = str(jax_mod.config.jax_platforms or "")
         except Exception:
-            pass
+            return False
+        if spec and _primary_platform(spec) == "cpu":
+            return True
     return False
 
 

@@ -686,3 +686,40 @@ def test_backend_probe_skips_for_in_process_cpu_config(monkeypatch):
     monkeypatch.setattr(backend_probe.subprocess, "run", boom)
     # conftest already set jax.config jax_platforms to "cpu" in this process
     assert backend_probe.probe_backend(timeout_s=1) is None
+
+
+def test_backend_probe_cpu_fallback_list_is_not_pinned(monkeypatch):
+    """'axon,cpu' (device primary, CPU fallback — the axon host default) must
+    NOT count as a CPU pin: the primary target is the tunneled device, which
+    is exactly what the probe exists to bound. Only a leading 'cpu' skips."""
+    from resdepth_tpu.utils import backend_probe
+
+    monkeypatch.delenv("RESDEPTH_SKIP_BACKEND_PROBE", raising=False)
+
+    ran = []
+
+    def fake_run(*args, **kwargs):
+        ran.append(True)
+
+        class P:
+            returncode = 0
+            stdout = "tpu\n"
+            stderr = ""
+        return P()
+
+    monkeypatch.setattr(backend_probe.subprocess, "run", fake_run)
+
+    # env var with a CPU fallback entry: probe must run
+    monkeypatch.setenv("JAX_PLATFORMS", "axon,cpu")
+    # neutralize the in-process conftest pin so only the env var decides
+    monkeypatch.setattr(
+        backend_probe.sys, "modules",
+        {k: v for k, v in backend_probe.sys.modules.items() if k != "jax"})
+    assert backend_probe.probe_backend(timeout_s=1) == "tpu"
+    assert ran
+
+    # leading cpu entry: pinned, probe skipped
+    ran.clear()
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu,axon")
+    assert backend_probe.probe_backend(timeout_s=1) is None
+    assert not ran
