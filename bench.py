@@ -213,7 +213,10 @@ def _probe_backend(timeout_s: float) -> None:
     Shared probe (utils/backend_probe.py): a dead device tunnel makes
     ``jax.devices()`` hang indefinitely inside native init; probing in a
     subprocess turns that into a clear bounded error instead of a silent
-    driver timeout. Skippable via RESDEPTH_BENCH_SKIP_PROBE=1.
+    driver timeout. Tunnel outages are transient (observed mid-session),
+    so a failed probe retries a few times before giving up
+    (RESDEPTH_BENCH_PROBE_RETRIES, default 2, 60 s apart). Skippable via
+    RESDEPTH_BENCH_SKIP_PROBE=1.
     """
     import os
 
@@ -221,12 +224,20 @@ def _probe_backend(timeout_s: float) -> None:
 
     if os.environ.get("RESDEPTH_BENCH_SKIP_PROBE"):
         return
-    try:
-        platform = probe_backend(timeout_s=timeout_s)
-    except BackendUnavailable as exc:
-        raise SystemExit(f"ERROR: {exc}")
-    if platform:
-        log(f"[probe] backend OK: {platform}")
+    retries = int(os.environ.get("RESDEPTH_BENCH_PROBE_RETRIES", 2))
+    for attempt in range(retries + 1):
+        try:
+            platform = probe_backend(timeout_s=timeout_s)
+        except BackendUnavailable as exc:
+            if attempt == retries:
+                raise SystemExit(f"ERROR: {exc}")
+            log(f"[probe] attempt {attempt + 1}/{retries + 1} failed "
+                f"({exc}); retrying in 60 s")
+            time.sleep(60)
+            continue
+        if platform:
+            log(f"[probe] backend OK: {platform}")
+        return
 
 
 def main() -> None:

@@ -179,10 +179,12 @@ def _valid_general_args(cfg, logger) -> bool:
             "allocation_strategy", logger):
         error = True
 
+    tile_size_ok = True
     if "tile_size" in general:
         depth = cfg.get("model", {}).get("settings", {}).get("depth", defaults.model.depth)
         if not valid_tile_size(general.tile_size, "tile_size", depth + 2, logger):
             error = True
+            tile_size_ok = False
     else:
         general.tile_size = defaults.training_settings.tile_size
 
@@ -205,6 +207,8 @@ def _valid_general_args(cfg, logger) -> bool:
     if "tile_stride" in general:
         if not is_positive_integer(general.tile_stride, "tile_stride", logger):
             error = True
+        elif not tile_size_ok:
+            pass  # tile_size already reported; the range bounds are undefined
         elif not (general.tile_size // 2 <= general.tile_stride
                   <= general.tile_size):
             # Below tile/2 more than two tiles overlap per axis and the

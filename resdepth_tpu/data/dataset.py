@@ -153,16 +153,30 @@ class TileDataset:
     def _determine_patches(self):
         n_pairs = len(self.image_pairs)
 
-        # Clear error instead of a raw device gather failure downstream.
+        # Clear errors instead of raw sampling/gather failures downstream.
         for (y0, y1), (x0, x1) in zip(self.area_defn["y_extent"],
                                       self.area_defn["x_extent"]):
             region = (y1 - y0 + 1, x1 - x0 + 1)
-            if self.tile_size > min(region):
+            if self.sampling_strategy == "train":
+                # Training samples tiles fully INSIDE the region; none exist
+                # (the reference crashes in np.linspace here,
+                # lib/data_allocation.py:367-373).
+                if self.tile_size > min(region):
+                    raise ValueError(
+                        f"tile_size {self.tile_size} exceeds a training "
+                        f"region of {region[0]}x{region[1]} px (area_defn "
+                        f"{self.area_defn}); no valid patch positions exist. "
+                        "Reduce training_settings.tile_size.")
+            # Val/test grids clamp edge tiles inward so their trailing edge
+            # lands on the region border (lib/rasterutils.py:161-177) — a
+            # region narrower than the tile is fine as long as the clamped
+            # origin (trailing_edge - tile + 1) stays inside the raster.
+            elif self.tile_size > min(y1 + 1, x1 + 1):
                 raise ValueError(
-                    f"tile_size {self.tile_size} exceeds a sampling region of "
-                    f"{region[0]}x{region[1]} px (area_defn {self.area_defn}). "
-                    "Reduce tile_size (inference: general.tile_size; "
-                    "training: training_settings.tile_size).")
+                    f"tile_size {self.tile_size} cannot fit between the "
+                    f"raster origin and the region's trailing edge "
+                    f"(y1={y1}, x1={x1}; area_defn {self.area_defn}). "
+                    "Reduce tile_size (inference: general.tile_size).")
 
         if self.sampling_strategy == "train":
             valid = grid_mod.indices_from_area_defn(self.area_defn, self.tile_size)

@@ -123,7 +123,7 @@ def _inference_spec(ds: TileDataset) -> BatchSpec:
 
 
 def _predict_tiles(config, params, bn_state, rasters, positions, pair_idx,
-                   wy, wx, shape, spec, dsm_std, batch_size, mesh, axis_name,
+                   wy, wx, shape, spec, dsm_std, batch_size, mesh,
                    compute_dtype, use_pallas):
     """Run the jitted scan over one set of tiles into a (rows, cols) canvas.
 
@@ -145,7 +145,6 @@ def _predict_tiles(config, params, bn_state, rasters, positions, pair_idx,
     wy = _pad_round_up(wy, n_padded, 0.0)   # zero weights: padding adds nothing
     wx = _pad_round_up(wx, n_padded, 0.0)
 
-    del axis_name  # collective axes derive from the mesh itself
     scene_fn = _make_scene_fn(config, spec, tuple(shape), float(dsm_std),
                               compute_dtype, mesh,
                               tuple(mesh.axis_names) if mesh is not None
@@ -160,7 +159,7 @@ def _predict_tiles(config, params, bn_state, rasters, positions, pair_idx,
 
 def predict_linear_blend(config: UNetConfig, params, bn_state, ds: TileDataset,
                          *, batch_size: int = 64, mesh=None,
-                         axis_name: str = "data", compute_dtype=jnp.float32,
+                         compute_dtype=jnp.float32,
                          rasters=None, use_pallas: bool | None = None,
                          fold_bn: bool = True, as_numpy: bool = True):
     """Refine a whole scene; returns the blended refined DSM (rows, cols).
@@ -200,7 +199,7 @@ def predict_linear_blend(config: UNetConfig, params, bn_state, ds: TileDataset,
     out = _predict_tiles(config, params, bn_state, rasters, ds.positions,
                          ds.pair_indices, wy, wx, ds.dsm_input.shape,
                          _inference_spec(ds), ds.dsm_std, batch_size, mesh,
-                         axis_name, compute_dtype, use_pallas)
+                         compute_dtype, use_pallas)
     return np.asarray(out) if as_numpy else out
 
 
@@ -208,7 +207,6 @@ def predict_linear_blend_streaming(config: UNetConfig, params, bn_state,
                                    ds: TileDataset, *,
                                    max_device_pixels: int = 1 << 28,
                                    batch_size: int = 64, mesh=None,
-                                   axis_name: str = "data",
                                    compute_dtype=jnp.float32,
                                    use_pallas: bool | None = None,
                                    fold_bn: bool = True) -> np.ndarray:
@@ -253,7 +251,7 @@ def predict_linear_blend_streaming(config: UNetConfig, params, bn_state,
             config, params, bn_state, band_rasters, band_positions,
             ds.pair_indices[band_idx], wy_all[band_idx], wx_all[band_idx],
             (window.stop - window.start, cols), spec, ds.dsm_std, batch_size,
-            mesh, axis_name, compute_dtype, use_pallas)
+            mesh, compute_dtype, use_pallas)
         out[window] += np.asarray(band_out)
 
     return out
@@ -344,7 +342,7 @@ def predict_linear_blend_scene_sharded(config: UNetConfig, params, bn_state,
                 _pad_round_up(wy_all[band_idx], n_tiles, 0.0),
                 _pad_round_up(wx_all[band_idx], n_tiles, 0.0),
                 (window_rows, cols), spec, ds.dsm_std, batch_size,
-                None, None, compute_dtype, use_pallas)
+                None, compute_dtype, use_pallas)
             pending.append((window, band_out))
         for window, band_out in pending:
             out[window] += np.asarray(band_out)[:window.stop - window.start]

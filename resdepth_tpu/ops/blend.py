@@ -50,11 +50,18 @@ def axis_weights(tile_size: int, stride: int, ul: int, lr: int) -> np.ndarray:
         ramp = np.linspace(0.0, 1.0, overlap, endpoint=True, dtype=np.float32)
 
     if ul > 0:
-        if ul == overlap:
-            weights[:ul] *= ramp
-        else:
+        if ul >= overlap:
             weights[ul - overlap:ul] *= ramp
             weights[:ul - overlap] = 0.0
+        else:
+            # ul < overlap: a single clamped tile serves a region narrower
+            # than the tile (stride < span < tile), so no in-region
+            # neighbour exists and the leading band is entirely OUT of the
+            # region. Clip the ramp's head at the tile start — the natural
+            # limit of the reference formula, whose [ul-overlap, ul) slice
+            # collapses to an empty array and crashes on this case
+            # (lib/evaluation.py:541-545).
+            weights[:ul] *= ramp[overlap - ul:]
     if lr < tile_size - 1:
         n_trailing = tile_size - lr - 1
         weights[lr + 1:] *= ramp[::-1][:n_trailing]

@@ -80,7 +80,7 @@ def _sharded(fn, mesh, batch_axis=0):
 
 
 def make_train_step(config: UNetConfig, spec: BatchSpec, tx, mesh=None,
-                    axis_name: str = "data", compute_dtype=jnp.float32,
+                    compute_dtype=jnp.float32,
                     donate: bool = True, steps_per_call: int = 1,
                     precision=None, weighted_bn: bool = True,
                     layer_precisions: dict | None = None,
@@ -112,9 +112,9 @@ def make_train_step(config: UNetConfig, spec: BatchSpec, tx, mesh=None,
     it saves the extra weighted-moment elementwise passes.
 
     Under a mesh, batches shard over EVERY mesh axis and gradients/BN
-    statistics reduce over all of them — a 2-D (DCN x ICI) multi-slice mesh
-    needs no step changes (``axis_name`` is ignored in favour of the mesh's
-    own axis names).
+    statistics reduce over all of them (the collective axis names derive
+    from the mesh itself) — a 2-D (DCN x ICI) multi-slice mesh needs no
+    step changes.
 
     ``steps_per_call > 1`` runs that many optimizer steps inside ONE jitted
     program via ``lax.scan`` (batch arrays gain a leading steps dimension and
@@ -183,7 +183,7 @@ def make_train_step(config: UNetConfig, spec: BatchSpec, tx, mesh=None,
 
 
 def make_eval_step(config: UNetConfig, spec: BatchSpec, mesh=None,
-                   axis_name: str = "data", compute_dtype=jnp.float32,
+                   compute_dtype=jnp.float32,
                    precision=None, layer_precisions: dict | None = None,
                    mixed_precision: bool = False,
                    hifi_endpoints: bool = False):

@@ -252,6 +252,21 @@ def test_validate_infer_tile_stride(make_geotiff, tmp_path):
     for bad in (0, 7, 17, -4, "half", 8.5):
         assert check(bad) is False, bad
 
+    def check_with_tile_size(tile_size, stride):
+        cfg = {
+            "datasets": [{"raster_in": raster}],
+            "model": {"weights": weights_path, "architecture": arch_path,
+                      "normalization_geom": norm_path},
+            "general": {"tile_size": tile_size, "tile_stride": stride},
+            "output": {"directory": str(tmp_path / "eval_out")},
+        }
+        return validate_infer.validate_and_update_cfg_file(cfg, logger).status
+
+    # an INVALID tile_size must yield a clean rejection, not a TypeError
+    # from the stride range arithmetic
+    for bad_tile in ("256", 17, None):
+        assert check_with_tile_size(bad_tile, 8) is False, bad_tile
+
 
 def test_compute_dtype_serving_modes_are_eval_only(make_geotiff, tmp_path):
     """'mixed'/'balanced' are serving modes: the eval validator accepts them

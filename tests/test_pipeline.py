@@ -425,18 +425,64 @@ def test_two_d_mesh_inference_equivalence(make_geotiff):
 
 
 def test_tile_size_exceeding_region_raises_clearly(make_geotiff):
-    """A tile larger than the sampling region fails at dataset construction
-    with an actionable message, not a raw device gather error."""
+    """Unfittable tiles fail at dataset construction with an actionable
+    message, not a raw sampling/gather error: training regions must contain
+    the tile (the reference crashes in np.linspace there); val/test grids may
+    clamp into neighbouring raster area, so they only fail when the clamped
+    origin would leave the raster."""
     paths, dsm, gt, images = _scene(make_geotiff)
     entry = {
         "raster_in": paths["raster_in"], "raster_gt": paths["raster_gt"],
         "image_list": paths["image_list"], "image_pairs": [(0, 1)],
         "area_defn": {"x_extent": [(0, 79)], "y_extent": [(0, 63)]},
+        "n_samples": 4,
     }
-    with pytest.raises(ValueError, match="tile_size 256 exceeds"):
+    with pytest.raises(ValueError, match="tile_size 256 cannot fit"):
         TileDataset(entry, input_channels="geom-stereo", tile_size=256,
                     sampling_strategy="test", dsm_std=5.0, ortho_mean=120.0,
                     ortho_std=25.0)
+    with pytest.raises(ValueError, match="tile_size 32 exceeds a training"):
+        TileDataset(dict(entry, area_defn={"x_extent": [(40, 59)],
+                                           "y_extent": [(0, 63)]}),
+                    input_channels="geom-stereo", tile_size=32,
+                    sampling_strategy="train", dsm_std=5.0, ortho_mean=120.0,
+                    ortho_std=25.0)
+
+
+def test_subtile_region_clamps_like_reference(make_geotiff):
+    """A val/test region NARROWER than the tile is served by a single tile
+    clamped inward so its trailing edge lands on the region border
+    (lib/rasterutils.py:161-177) — in-region output must equal the model's
+    prediction on that clamped tile (weight 1 across the whole region)."""
+    from resdepth_tpu.models.unet import apply_unet, fold_serving
+
+    paths, dsm, *_ = _scene(make_geotiff, rows=32, cols=80)
+    # interior stripe of 20 px, tile 32: clamped origin x = 59 - 32 + 1 = 28
+    entry = {"raster_in": paths["raster_in"],
+             "area_defn": {"x_extent": [(40, 59)], "y_extent": [(0, 31)]}}
+    ds = TileDataset(entry, input_channels="geom", tile_size=32,
+                     sampling_strategy="test", dsm_std=5.0)
+    assert [tuple(p) for p in ds.positions] == [(0, 28)]
+    assert [tuple(b) for b in ds.valid_bounds] == [(0, 12, 31, 31)]
+
+    config = UNetConfig(n_input_channels=1, start_kernel=4, max_filter_depth=8,
+                        depth=2)
+    params, bn = init_unet(jax.random.PRNGKey(0), config)
+    scene = predict_linear_blend(config, params, bn, ds, batch_size=1,
+                                 use_pallas=False)
+
+    fc, fp, fb = fold_serving(config, params, bn)
+    tile_in = dsm[0:32, 28:60]
+    mean = float(tile_in[tile_in != -9999.0].mean())
+    x = ((tile_in - mean) / 5.0)[None, ..., None]
+    pred, _ = apply_unet(fc, fp, fb, jnp.asarray(x), train=False)
+    expected = np.asarray(pred)[0, ..., 0] * 5.0 + mean
+
+    np.testing.assert_allclose(scene[0:32, 40:60], expected[:, 12:32],
+                               rtol=0, atol=1e-4)
+    # nothing written right of the region; the clamp band left of it may
+    # carry partial ramp weights (cropped by the CLI's region export)
+    assert np.all(scene[:, 60:] == 0.0)
 
 
 def test_predict_experimental_precision_modes(make_geotiff):

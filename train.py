@@ -353,7 +353,6 @@ def main() -> None:
     weighted_bn = (emit_size != batch_size or
                    any(len(ds) % batch_size != 0 for ds in train_datasets))
     train_step = make_train_step(model_config, train_spec, tx, mesh=mesh,
-                                 axis_name=cfg.tpu.mesh_axis,
                                  compute_dtype=compute_dtype,
                                  donate=cfg.tpu.donate_state,
                                  weighted_bn=weighted_bn, **precision_kwargs)
@@ -362,7 +361,7 @@ def main() -> None:
     if steps_per_call > 1:
         train_step_multi = make_train_step(
             model_config, train_spec, tx, mesh=mesh,
-            axis_name=cfg.tpu.mesh_axis, compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype,
             donate=cfg.tpu.donate_state, steps_per_call=steps_per_call,
             weighted_bn=weighted_bn, **precision_kwargs)
     # Validation always runs the f32 parity policy (dtype-adaptive HIGH),
@@ -370,7 +369,6 @@ def main() -> None:
     # training modes and best-checkpoint selection is precision-stable.
     # (Serving-precision deviation is studied separately — BASELINE.md.)
     eval_step = make_eval_step(model_config, val_spec, mesh=mesh,
-                               axis_name=cfg.tpu.mesh_axis,
                                compute_dtype=compute_dtype)
 
     train_loaders = [(device_put_dataset(ds),
