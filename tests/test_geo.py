@@ -322,6 +322,42 @@ def test_create_regular_grid_property(seed):
     np.testing.assert_allclose(acc[region], 1.0, atol=1e-5)
 
 
+@pytest.mark.parametrize("seed", range(12))
+def test_blend_partition_subtile_regions(seed):
+    """Regions NARROWER than the tile (served by a single inward-clamped tile
+    per axis — lib/rasterutils.py:161-177) still blend to a partition of
+    unity over the region for every supported stride. The reference's own
+    blend-weight code crashes on stride < span < tile
+    (lib/evaluation.py:541-545); ops/blend.py generalises it."""
+    rng = np.random.default_rng(seed)
+    tile = int(rng.choice([8, 16, 32]))
+    stride = int(rng.choice([tile, tile // 2, 3 * tile // 4,
+                             tile // 2 + 1, tile - 1]))
+
+    def axis_range(span):
+        # trailing edge must leave room for the clamped origin (>= 0)
+        lo = max(span - 1, tile - 1)
+        trailing = lo + int(rng.integers(0, 8))
+        return trailing - span + 1, trailing
+
+    span_y = int(rng.integers(2, tile + 1))       # sub-tile or exactly tile
+    span_x = int(rng.integers(2, 3 * tile))       # mixes sub- and multi-tile
+    y0, y1 = axis_range(span_y)
+    x0, x1 = axis_range(span_x)
+    area = {"x_extent": [(x0, x1)], "y_extent": [(y0, y1)]}
+    positions, borders = grid.create_regular_grid(area, tile, stride)
+    assert positions, area
+
+    from resdepth_tpu.ops import blend
+    wy, wx = blend.weight_table(tile, stride, borders)
+    acc = np.zeros((y1 + tile, x1 + tile))
+    for i, (uly, ulx) in enumerate(positions):
+        assert 0 <= uly and uly + tile - 1 <= y1    # clamped into the raster
+        assert 0 <= ulx and ulx + tile - 1 <= x1
+        acc[uly:uly + tile, ulx:ulx + tile] += np.outer(wy[i], wx[i])
+    np.testing.assert_allclose(acc[y0:y1 + 1, x0:x1 + 1], 1.0, atol=1e-5)
+
+
 def test_tiff_interop_with_pillow(tmp_path):
     """Cross-library validation: Pillow reads our files, we read Pillow's."""
     PIL_Image = pytest.importorskip("PIL.Image")

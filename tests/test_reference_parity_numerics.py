@@ -207,6 +207,38 @@ def test_create_regular_grid_matches_reference(tile, stride, regions):
     assert list(map(tuple, got_excl)) == list(map(tuple, ref_excl))
 
 
+def test_create_regular_grid_matches_reference_randomized():
+    """Randomized differential sweep of the closed-form grid against the
+    reference marching loop (lib/rasterutils.py:100-191): random tiles,
+    strides across the whole supported domain (including > tile/2 and
+    == tile), multi-region areas, offsets, and region spans from SUB-TILE
+    (the clamp-only case — the reference grid handles it even though its
+    blend weights crash there) up to many tiles."""
+    from resdepth_tpu.geo import grid as ours
+
+    ref_ru = _load_with_stubs("lib/rasterutils.py", "ref_rasterutils")
+    rng = np.random.default_rng(20260818)
+    for case in range(300):
+        tile = int(rng.choice([8, 16, 32, 64]))
+        stride = int(rng.integers(-(-tile // 2), tile + 1))
+        n_regions = int(rng.integers(1, 4))
+        ys, xs = [], []
+        for _ in range(n_regions):
+            y0 = int(rng.integers(0, 50))
+            x0 = int(rng.integers(0, 50))
+            # spans from 2 px (deep sub-tile) to ~4 tiles
+            ys.append((y0, y0 + int(rng.integers(1, 4 * tile))))
+            xs.append((x0, x0 + int(rng.integers(1, 4 * tile))))
+        area = {"y_extent": ys, "x_extent": xs}
+
+        ref_pos, ref_excl = ref_ru.create_regular_grid(area, tile, stride)
+        got_pos, got_excl = ours.create_regular_grid(area, tile, stride)
+        assert list(map(tuple, got_pos)) == list(map(tuple, ref_pos)), \
+            (case, tile, stride, area)
+        assert list(map(tuple, got_excl)) == list(map(tuple, ref_excl)), \
+            (case, tile, stride, area)
+
+
 def _load_ref_utils(load_raster=None):
     """lib/utils.py with its heavyweight framework imports stubbed (the
     normalization functions under test are pure numpy + torch tensors)."""
