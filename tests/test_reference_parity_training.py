@@ -193,6 +193,89 @@ def test_training_dynamics_match_reference(do_BN, weight_decay, up_mode):
             err_msg=f"{key} diverged after {STEPS} steps")
 
 
+def test_warm_start_from_reference_checkpoint_matches_reference(tmp_path):
+    """Resuming from a REAL reference checkpoint (.pth written by the real
+    lib.UNet + torch.optim.Adam, the Trainer._save_checkpoint payload —
+    lib/Trainer.py:145-157) continues the exact torch trajectory: the Adam
+    moment import is keyed by torch's param ORDER (integer state indices),
+    which only the real reference model can pin (the other Adam-import test
+    uses the self-written oracle)."""
+    import torch
+
+    rng = np.random.default_rng(13)
+    rasters, rows, cols = _scene(rng)
+    config = UNetConfig(n_input_channels=3, start_kernel=8,
+                        max_filter_depth=16, depth=2)
+    spec = BatchSpec(input_channels="geom-stereo", tile_size=TILE,
+                     dsm_std=DSM_STD, permute_images_within_pair=False,
+                     augment=False)
+    params, bn_state = init_unet(jax.random.PRNGKey(7), config)
+
+    positions = rng.integers(0, rows - TILE, (STEPS, BATCH, 2)).astype(np.int32)
+    pair_idx = rng.integers(0, 2, (STEPS, BATCH)).astype(np.int32)
+    batches = _batches(rasters, spec, positions, pair_idx)
+    warm, cont = STEPS // 2, STEPS - STEPS // 2
+
+    # ---- reference side: 3 steps, checkpoint, 3 more steps ---- #
+    model = _load_reference_unet()(**_reference_kwargs(config))
+    sd = {k: torch.from_numpy(np.array(v)) if np.ndim(v) else torch.tensor(v)
+          for k, v in torch_import.state_dict_from_params(
+              params, bn_state, config).items()}
+    model.load_state_dict(sd, strict=True)
+    model.train()
+    optimizer = torch.optim.Adam(model.parameters(), lr=LR, weight_decay=1e-5)
+    loss_fn = _ref_loss_fn()
+
+    ref_losses = []
+    ckpt_path = str(tmp_path / "Model_best.pth")
+    for k, batch in enumerate(batches):
+        if k == warm:
+            torch.save({"epoch": warm - 1,
+                        "model_state_dict": model.state_dict(),
+                        "optimizer_state_dict": optimizer.state_dict()},
+                       ckpt_path)
+        x = torch.from_numpy(batch["input"].transpose(0, 3, 1, 2).copy())
+        y = torch.from_numpy(batch["target"].transpose(0, 3, 1, 2).copy())
+        mask = torch.from_numpy(batch["loss_mask"].transpose(0, 3, 1, 2).copy())
+        mean = torch.from_numpy(batch["dsm_mean"].copy())
+        optimizer.zero_grad()
+        loss = loss_fn(model(x), y, mask, mean)
+        loss.backward()
+        optimizer.step()
+        ref_losses.append(float(loss.detach()))
+
+    # ---- our side: import the checkpoint, run the continuation steps ---- #
+    r_params, r_bn = torch_import.import_checkpoint(ckpt_path, config)
+    mu, nu, count = torch_import.import_adam_state(ckpt_path, config)
+    assert count == warm
+    tx = build_optimizer("Adam", 1e-5)
+    state = init_train_state(r_params, r_bn, tx, LR)
+    state = state.replace(opt_state=torch_import.graft_adam_state(
+        state.opt_state, mu, nu, count))
+
+    step = make_train_step(config, spec, tx, mesh=None, donate=False)
+    bounds = jnp.zeros((BATCH, 4), jnp.int32)
+    weights = jnp.ones(BATCH, jnp.float32)
+    metrics = []
+    for k in range(warm, STEPS):
+        state, metric = step(state, rasters, jnp.asarray(positions[k]),
+                             jnp.asarray(pair_idx[k]), bounds, weights,
+                             jax.random.PRNGKey(0))
+        metrics.append(float(metric))
+
+    np.testing.assert_allclose(np.asarray(metrics),
+                               np.asarray(ref_losses[warm:]), rtol=2e-5)
+    ours = torch_import.state_dict_from_params(state.params, state.bn_state,
+                                               config)
+    theirs = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    for key in sorted(theirs):
+        if key.endswith("num_batches_tracked"):
+            continue
+        np.testing.assert_allclose(
+            ours[key], theirs[key], rtol=5e-4, atol=5e-6,
+            err_msg=f"{key} diverged after warm-start resume")
+
+
 def test_training_dynamics_match_reference_multistep_scan():
     """The steps_per_call=K fused scan reproduces the same torch trajectory
     (same batches, one dispatch)."""
