@@ -82,12 +82,19 @@ class BatchSpec:
     use_bounds: bool = False
 
 
-def device_put_dataset(ds: TileDataset, sharding=None) -> DeviceRasters:
-    """Move a TileDataset's rasters into device memory (HBM)."""
+def device_put_dataset(ds: TileDataset, sharding=None,
+                       include_target: bool = True) -> DeviceRasters:
+    """Move a TileDataset's rasters into device memory (HBM).
+
+    ``include_target=False`` skips the ground-truth DSM: inference never
+    reads it, and a full-scene GT would otherwise occupy HBM (and transfer
+    bandwidth) for the whole run.
+    """
     put = partial(jax.device_put, device=sharding) if sharding else jax.device_put
+    include_target = include_target and ds.dsm_target is not None
     return DeviceRasters(
         dsm_input=put(jnp.asarray(ds.dsm_input)),
-        dsm_target=put(jnp.asarray(ds.dsm_target)) if ds.dsm_target is not None else None,
+        dsm_target=put(jnp.asarray(ds.dsm_target)) if include_target else None,
         orthos=(put(jnp.asarray(ds.orthos.transpose(2, 0, 1)))
                 if ds.orthos is not None else None),
         pairs=jnp.asarray(ds.pairs_array),
@@ -283,7 +290,6 @@ class BatchIndexIterator:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.rng = np.random.default_rng(seed)
-        self.epoch = 0
 
     def __len__(self):
         n = len(self.ds)
@@ -294,7 +300,6 @@ class BatchIndexIterator:
     def __iter__(self):
         n = len(self.ds)
         order = self.rng.permutation(n) if self.shuffle else np.arange(n)
-        self.epoch += 1
         bs = self.batch_size
         emit = self.emit_size
         bounds_all = self.ds.valid_bounds

@@ -20,6 +20,16 @@ from resdepth_tpu.utils import fs
 from resdepth_tpu.utils.attrdict import AttrDict
 from resdepth_tpu.utils.logging import setup_logger
 
+#: Report headings per pixel class (reference report format,
+#: lib/evaluation.py:347-394); shared with the eval CLI's aggregate report.
+CLASS_TITLES = {
+    "all": "OVERALL",
+    "building": "BUILDING PIXELS",
+    "terrain": "TERRAIN PIXELS",
+    "terrain_nowater": "TERRAIN PIXELS WITHOUT WATER",
+    "terrain_nowater_noforest": "TERRAIN PIXELS WITHOUT WATER/FOREST",
+}
+
 
 def _load_band_f64(source) -> tuple[np.ndarray, float | None, float]:
     r = rasterio_mod.open_raster(source)
@@ -129,16 +139,9 @@ def evaluate_performance(raster_prediction, ds_raster_input, ds_raster_gt,
     if residual_threshold:
         logger_stats.info("Truncation threshold:\t\t\t{:.2f} m\n".format(residual_threshold))
 
-    titles = {
-        "all": "OVERALL",
-        "building": "BUILDING PIXELS",
-        "terrain": "TERRAIN PIXELS",
-        "terrain_nowater": "TERRAIN PIXELS WITHOUT WATER",
-        "terrain_nowater_noforest": "TERRAIN PIXELS WITHOUT WATER/FOREST",
-    }
     for name in ["all"] + [n for n, _ in class_order]:
         for phase, label in (("before", "INITIAL DSM"), ("after", "REFINED DSM")):
-            header = f"STATISTICS, {titles[name]}: {label}"
+            header = f"STATISTICS, {CLASS_TITLES[name]}: {label}"
             logger_stats.info("\n{}\n{}\n".format(header, "-" * len(header)))
             print_statistics(stats[phase][name], logger_stats)
 

@@ -149,10 +149,11 @@ def write_raster(filepath: str, data: np.ndarray, like, offset_x: int = 0,
         nodata = src.nodata
     if dtype is None:
         dtype = src.data.dtype
-    data = np.asarray(data)
     if np.ma.isMaskedArray(data):
+        # must run BEFORE np.asarray, which strips the mask and would leak
+        # the raw under-mask values into the raster
         data = data.filled(nodata if nodata is not None else 0)
-    data = data.astype(dtype, copy=False)
+    data = np.asarray(data).astype(dtype, copy=False)
 
     tiff.write(filepath, data, geotransform=out_gt, nodata=nodata,
                geo_tags=src.geo_tags, compress="deflate" if compress else "none")

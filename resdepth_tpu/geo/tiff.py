@@ -441,14 +441,16 @@ def read(path: str):
     return out, info
 
 
-def _encode_value(ftype, values, bo):
-    fmt, _ = _FIELD_TYPES[ftype]
+def _encode_value(ftype, values, bo, field_types=None):
+    """Pack a tag value; ``field_types`` selects the classic or BigTIFF
+    field-type table (they differ in the 8-byte offset types)."""
     if ftype == 2:
         if isinstance(values, str):
             values = values.encode("latin-1")
         if not values.endswith(b"\x00"):
             values += b"\x00"
         return values, len(values)
+    fmt, _ = (field_types or _FIELD_TYPES)[ftype]
     if not isinstance(values, (list, tuple)):
         values = [values]
     return struct.pack(bo + fmt * len(values), *values), len(values)
@@ -565,18 +567,10 @@ def write(path: str, data: np.ndarray, *, geotransform=None, nodata=None,
         ifd_offset = 8
         values_offset = ifd_offset + 2 + n * entry_size + 4
 
-    def encode_value(ftype, values):
-        if ftype == 2:
-            return _encode_value(ftype, values, bo)
-        fmt, _ = _FIELD_TYPES_BIG[ftype]
-        if not isinstance(values, (list, tuple)):
-            values = [values]
-        return struct.pack(bo + fmt * len(values), *values), len(values)
-
     encoded = []
     extra = bytearray()
     for tag_id, ftype, value in tags:
-        payload, count = encode_value(ftype, value)
+        payload, count = _encode_value(ftype, value, bo, _FIELD_TYPES_BIG)
         if len(payload) <= inline_cap:
             inline = payload + b"\x00" * (inline_cap - len(payload))
             encoded.append((tag_id, ftype, count, inline, None))

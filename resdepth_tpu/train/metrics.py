@@ -13,7 +13,16 @@ Parity surface:
 from __future__ import annotations
 
 import json
+import math
 import time
+
+
+def _json_safe(value: float):
+    """Strict-JSON scalar: json.dumps emits bare ``Infinity``/``NaN`` tokens
+    for non-finite floats, which breaks non-Python consumers of the JSONL
+    mirror (jq, most parsers) — map them to null."""
+    value = float(value)
+    return value if math.isfinite(value) else None
 
 
 class AverageMeter:
@@ -52,7 +61,7 @@ class MetricsWriter:
             self._tb.add_scalar(tag, value, step)
         if self._jsonl:
             self._jsonl.write(json.dumps({
-                "tag": tag, "value": float(value), "step": int(step),
+                "tag": tag, "value": _json_safe(value), "step": int(step),
                 "wall_time": round(time.time() - self._t0, 3)}) + "\n")
             self._jsonl.flush()
 
@@ -63,6 +72,7 @@ class MetricsWriter:
             except Exception:
                 pass
         if self._jsonl:
+            metrics = {k: _json_safe(v) for k, v in metrics.items()}
             self._jsonl.write(json.dumps({"hparams": hparams, "metrics": metrics}) + "\n")
             self._jsonl.flush()
 

@@ -102,6 +102,24 @@ class Trainer:
         if meta.get("loss_val") is not None:
             self.best_loss = float(meta["loss_val"])
             self.index_best_loss = int(meta.get("epoch", -1))
+        # The reference seeds best_loss from the resumed checkpoint's own
+        # loss_val (lib/Trainer.py:136), which is only correct when the
+        # resumed file IS Model_best. auto_resume continues from Model_last,
+        # whose (usually worse) last val loss would let the carried-forward
+        # Model_best be overwritten by a worse model — honour the copied
+        # best checkpoint's loss instead when it is better.
+        if os.path.isfile(self.path_model_best):
+            try:
+                best_meta, *_ = ckpt_io.load_checkpoint(self.path_model_best)
+            except Exception as exc:
+                self.logger.warning(
+                    f"Could not read {self.path_model_best} for best-loss "
+                    f"bookkeeping: {exc}")
+            else:
+                if best_meta.get("loss_val") is not None and \
+                        float(best_meta["loss_val"]) < self.best_loss:
+                    self.best_loss = float(best_meta["loss_val"])
+                    self.index_best_loss = int(best_meta.get("epoch", -1))
         if self.scheduler is not None and meta.get("scheduler_state"):
             self.scheduler.load_state_dict(meta["scheduler_state"])
             self.state = self.state.replace(
@@ -124,34 +142,36 @@ class Trainer:
             self.epoch_rng.shuffle(batches)
         return batches
 
-    def _chunk_batches(self, batches):
-        """Group consecutive same-loader batches into steps_per_call chunks.
+    def _epoch_chunks(self, loaders):
+        """Each loader's batch stream grouped into steps_per_call chunks
+        FIRST, then the chunk order shuffled across loaders.
 
-        Yields ``(loader_id, [batch, ...])`` with chunk length either
-        ``steps_per_call`` (dispatched as one scanned program) or shorter
-        tails (dispatched per-batch).
+        Chunking before shuffling keeps chunks full in multi-region configs:
+        a global batch-level shuffle leaves expected same-loader runs of only
+        ~n/(n-1) batches across n regions, so nearly every chunk would fall
+        short of ``steps_per_call`` and the fused multi-step program would
+        silently never run. Returns ``(loader_id, [batch, ...])`` pairs with
+        chunk length ``steps_per_call`` (dispatched as one scanned program)
+        or shorter tails (dispatched per-batch).
         """
         k = self.steps_per_call
-        chunk: list = []
-        chunk_loader = None
-        for loader_id, batch in batches:
-            if chunk and (loader_id != chunk_loader or len(chunk) == k):
-                yield chunk_loader, chunk
-                chunk = []
-            chunk_loader = loader_id
-            chunk.append(batch)
-        if chunk:
-            yield chunk_loader, chunk
+        chunks = []
+        for loader_id, (rasters, iterator) in enumerate(loaders):
+            batches = list(iterator)
+            chunks.extend((loader_id, batches[i:i + k])
+                          for i in range(0, len(batches), k))
+        self.epoch_rng.shuffle(chunks)
+        return chunks
 
     def train_one_epoch(self, epoch: int) -> AverageMeter:
         meter = AverageMeter()
         pending = []  # device scalars, materialised lazily at logging points
-        batches = self._epoch_batches(self.train_loaders, shuffle_order=True)
-        num_iter = len(batches)
+        chunks = self._epoch_chunks(self.train_loaders)
+        num_iter = sum(len(chunk) for _, chunk in chunks)
         key = jax.random.fold_in(self.base_key, epoch)
         c_iter = -1
 
-        for loader_id, chunk in self._chunk_batches(batches):
+        for loader_id, chunk in chunks:
             rasters = self.train_loaders[loader_id][0]
             if len(chunk) == self.steps_per_call and self.train_step_multi is not None \
                     and self.steps_per_call > 1:

@@ -29,7 +29,8 @@ from resdepth_tpu.config import validate_infer
 from resdepth_tpu.data import control_files
 from resdepth_tpu.data.dataset import TileDataset
 from resdepth_tpu.data.pipeline import device_put_dataset
-from resdepth_tpu.evaluation import evaluate_performance, get_statistics, print_statistics
+from resdepth_tpu.evaluation import (CLASS_TITLES, evaluate_performance,
+                                     get_statistics, print_statistics)
 from resdepth_tpu.geo import raster as raster_mod
 from resdepth_tpu.infer import (predict_linear_blend,
                                 predict_linear_blend_scene_sharded,
@@ -232,13 +233,16 @@ def main() -> None:
                             use_pallas=use_pallas, mesh=mesh)
                 else:
                     if device_rasters is None:
-                        device_rasters = device_put_dataset(tile_ds)
+                        # inference never reads the ground truth: evaluation
+                        # runs on the host, so don't hold the GT in HBM
+                        device_rasters = device_put_dataset(
+                            tile_ds, include_target=False)
                     pair_rasters = dataclasses.replace(
                         device_rasters, pairs=jnp.asarray(tile_ds.pairs_array))
                     # Pipelining keeps the PREVIOUS pair's scene canvas on
-                    # device while this pair computes: only defer the fetch
-                    # when the extra canvas still fits the device budget.
-                    overlap = (scene_pixels + tile_ds.dsm_input.size
+                    # device while THIS pair's canvas accumulates: both
+                    # canvases are resident during the overlap, so budget two.
+                    overlap = (scene_pixels + 2 * tile_ds.dsm_input.size
                                <= MAX_DEVICE_PIXELS)
                     prediction = predict_linear_blend(
                         model_config, params, bn_state, tile_ds,
@@ -331,7 +335,12 @@ def main() -> None:
                 output_parent,
                 f"{basename}_prediction{area_suffix}_performance_statistics_"
                 f"mean_over_all_stereopairs.txt")
-            logger_overall = setup_logger("stats_logger_overall", level=logging.INFO,
+            # Unique per dataset: the reference reuses one logger name here
+            # (test.py:319), so with 2+ evaluated datasets its handlers
+            # accumulate — dataset 2's aggregate lines are appended into
+            # dataset 1's statistics file and console lines print N times.
+            logger_overall = setup_logger(f"stats_logger_overall_{index}",
+                                          level=logging.INFO,
                                           log_to_console=False, log_file=outfile)
             logger_overall.info(f"Model name:\t{cfg.model.name}")
             logger_overall.info(f"Model weights:\t{cfg.model.weights}\n\n\n")
@@ -339,20 +348,12 @@ def main() -> None:
             logger_overall.info("\nPerformance Evaluation: Statistics over all "
                                 "predictions\n"
                                 "-------------------------------------------------------\n")
-            titles = {
-                "all": "OVERALL",
-                "building": "BUILDING PIXELS",
-                "terrain": "TERRAIN PIXELS",
-                "terrain_nowater": "TERRAIN PIXELS WITHOUT WATER",
-                "terrain_nowater_noforest": "TERRAIN PIXELS WITHOUT WATER/FOREST",
-            }
-            for key in ("all", "building", "terrain", "terrain_nowater",
-                        "terrain_nowater_noforest"):
+            for key in CLASS_TITLES:
                 if key not in residual_pool:
                     continue
                 pooled = np.ma.masked_invalid(np.concatenate(residual_pool[key]))
                 stats = get_statistics(pooled, RESIDUAL_THRESHOLD)
-                header = f"STATISTICS, {titles[key]}: REFINED DSM"
+                header = f"STATISTICS, {CLASS_TITLES[key]}: REFINED DSM"
                 logger_overall.info("\n{}\n{}\n".format(header, "-" * len(header)))
                 print_statistics(stats, logger_overall)
 

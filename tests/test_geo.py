@@ -322,6 +322,27 @@ def test_create_regular_grid_property(seed):
     np.testing.assert_allclose(acc[region], 1.0, atol=1e-5)
 
 
+def test_write_raster_fills_masked_arrays(make_geotiff, tmp_path):
+    """A np.ma.MaskedArray export fills masked cells with nodata — the mask
+    must be honoured BEFORE any np.asarray call strips it (else the raw
+    under-mask values leak into the GeoTIFF)."""
+    from resdepth_tpu.geo import raster as raster_mod
+
+    base = make_geotiff("base.tif", np.full((6, 8), 5.0, np.float32))
+    data = np.ma.masked_array(np.arange(48, dtype=np.float32).reshape(6, 8),
+                              mask=np.zeros((6, 8), bool))
+    data[2, 3] = np.ma.masked
+    data[5, 0] = np.ma.masked
+
+    out = str(tmp_path / "masked.tif")
+    raster_mod.write_raster(out, data, like=base, nodata=-9999.0,
+                            dtype=np.float32)
+    back = raster_mod.open_raster(out).band()
+    assert back[2, 3] == -9999.0
+    assert back[5, 0] == -9999.0
+    np.testing.assert_array_equal(back[0], np.arange(8, dtype=np.float32))
+
+
 @pytest.mark.parametrize("seed", range(12))
 def test_blend_partition_subtile_regions(seed):
     """Regions NARROWER than the tile (served by a single inward-clamped tile
