@@ -21,6 +21,7 @@ matters (full-scene training data loads).
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 from dataclasses import dataclass, field
@@ -297,11 +298,16 @@ def _read_ifd(f, offset: int, bo: str, big: bool = False):
     43): 20-byte entries, u64 counts/offsets, extra LONG8/SLONG8/IFD8 types."""
     entry_size = 20 if big else 12
     inline_cap = 8 if big else 4
+    f.seek(0, 2)
+    file_size = f.tell()  # bounds corrupt counts/offsets (see guards below)
     f.seek(offset)
     if big:
         (n_entries,) = struct.unpack(bo + "Q", f.read(8))
     else:
         (n_entries,) = struct.unpack(bo + "H", f.read(2))
+    if offset + n_entries * entry_size > file_size:
+        raise ValueError(f"Corrupt TIFF: IFD with {n_entries} entries exceeds "
+                         f"the file size ({file_size} bytes)")
     entries = f.read(n_entries * entry_size)
     next_ifd = struct.unpack(bo + ("Q" if big else "I"),
                              f.read(8 if big else 4))[0]
@@ -323,6 +329,12 @@ def _read_ifd(f, offset: int, bo: str, big: bool = False):
         else:
             value_offset = struct.unpack_from(bo + ("Q" if big else "I"),
                                               entries, value_base)[0]
+            if value_offset + total > file_size:
+                # No structurally valid tag can point past EOF; a corrupt
+                # count would otherwise make f.read() preallocate gigabytes.
+                raise ValueError(
+                    f"Corrupt TIFF: tag {tag} data ({total} bytes at offset "
+                    f"{value_offset}) exceeds the file size ({file_size} bytes)")
             pos = f.tell()
             f.seek(value_offset)
             raw = f.read(total)
@@ -401,6 +413,16 @@ def read(path: str):
         dtype = np.dtype(bo + _SAMPLE_DTYPES[key])
 
         rows, cols = info.length, info.width
+        n_bytes = rows * cols * spp * dtype.itemsize
+        max_bytes = int(os.environ.get("RESDEPTH_TIFF_MAX_BYTES", 1 << 36))
+        if n_bytes > max_bytes:
+            # A corrupt width/length tag (a single u32 can claim 4e9 rows)
+            # would otherwise allocate an absurd image buffer; 64 GiB default
+            # admits any plausible in-RAM scene (RESDEPTH_TIFF_MAX_BYTES to
+            # raise).
+            raise ValueError(
+                f"TIFF dimensions {rows}x{cols}x{spp} ({n_bytes} bytes) exceed "
+                f"the {max_bytes}-byte sanity limit — corrupt header?")
         out = np.zeros((rows, cols, spp), dtype=dtype.newbyteorder("="))
 
         if TILE_OFFSETS in tags:

@@ -322,6 +322,47 @@ def test_create_regular_grid_property(seed):
     np.testing.assert_allclose(acc[region], 1.0, atol=1e-5)
 
 
+def test_tiff_corrupt_headers_fail_fast(tmp_path):
+    """Corrupt tag counts / dimensions raise clean ValueErrors instead of
+    preallocating gigabytes (fuzzing found f.read(total) hangs on 1-core
+    hosts when a mutated count claimed multi-GB tag payloads)."""
+    import struct
+
+    good = str(tmp_path / "good.tif")
+    tiff.write(good, np.ones((32, 32), np.float32),
+               geotransform=(0, 1, 0, 0, 0, -1), nodata=0.0)
+    blob = bytearray(open(good, "rb").read())
+
+    # find a multi-valued out-of-line tag entry and blow up its count
+    (ifd_off,) = struct.unpack("<I", blob[4:8])
+    (n_entries,) = struct.unpack("<H", blob[ifd_off:ifd_off + 2])
+    corrupted = None
+    for k in range(n_entries):
+        base = ifd_off + 2 + k * 12
+        tag, ftype, count = struct.unpack_from("<HHI", blob, base)
+        if count > 2:  # out-of-line payload
+            corrupted = bytearray(blob)
+            struct.pack_into("<I", corrupted, base + 4, 0x7FFFFFFF)
+            break
+    assert corrupted is not None
+    bad = str(tmp_path / "bad_count.tif")
+    open(bad, "wb").write(bytes(corrupted))
+    with pytest.raises(ValueError, match="exceeds the file size"):
+        tiff.read(bad)
+
+    # blow up ImageLength (tag 257): allocation guard must trip
+    corrupted = bytearray(blob)
+    for k in range(n_entries):
+        base = ifd_off + 2 + k * 12
+        tag, ftype, count = struct.unpack_from("<HHI", blob, base)
+        if tag == 257:
+            struct.pack_into("<I", corrupted, base + 8, 0xFFFFFFF0)
+    bad2 = str(tmp_path / "bad_rows.tif")
+    open(bad2, "wb").write(bytes(corrupted))
+    with pytest.raises(ValueError, match="sanity limit"):
+        tiff.read(bad2)
+
+
 def test_write_raster_fills_masked_arrays(make_geotiff, tmp_path):
     """A np.ma.MaskedArray export fills masked cells with nodata — the mask
     must be honoured BEFORE any np.asarray call strips it (else the raw
