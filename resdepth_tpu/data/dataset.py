@@ -83,6 +83,16 @@ class TileDataset:
 
     # ------------------------------- loading ------------------------------ #
 
+    @staticmethod
+    def _nodata_of(raster, path) -> np.float32:
+        """The DSM nodata value drives every validity mask; a GeoTIFF without
+        a NODATA tag must fail with a clear message (the reference crashes in
+        np.array(None).astype on this case, lib/DsmOrthoDataset.py:303-305)."""
+        if raster.nodata is None:
+            raise ValueError(f"Raster {path!r} carries no NODATA tag; the DSM "
+                             "nodata value is required to mask invalid pixels.")
+        return np.float32(raster.nodata)
+
     def _load_and_verify(self, dataset):
         self.raster_in = raster_mod.open_raster(dataset["raster_in"])
         self.dsm_input = self.raster_in.band(1).astype(np.float32)
@@ -90,7 +100,7 @@ class TileDataset:
         if dataset.get("raster_gt") is not None:
             self.raster_gt = raster_mod.open_raster(dataset["raster_gt"])
             self.dsm_target = self.raster_gt.band(1).astype(np.float32)
-            self.nodata = np.float32(self.raster_gt.nodata)
+            self.nodata = self._nodata_of(self.raster_gt, dataset["raster_gt"])
             if self.raster_gt.data.shape[:2] != self.dsm_input.shape:
                 raise ValueError("Initial DSM and ground truth DSM have different "
                                  "spatial dimensions.")
@@ -103,7 +113,7 @@ class TileDataset:
         else:
             self.raster_gt = None
             self.dsm_target = None
-            self.nodata = np.float32(self.raster_in.nodata)
+            self.nodata = self._nodata_of(self.raster_in, dataset["raster_in"])
         self.gsd = self.raster_in.geotransform[1]
 
         rows, cols = self.dsm_input.shape

@@ -21,16 +21,23 @@ import numpy as np
 from resdepth_tpu.models.unet import UNetConfig
 
 
-def load_state_dict(path: str) -> dict:
-    """Load a .pth checkpoint's model state_dict as numpy arrays."""
+def _load_blob(path: str):
     import torch
 
-    blob = torch.load(path, map_location="cpu", weights_only=False)
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def _state_dict_arrays(blob) -> dict:
     state_dict = blob.get("model_state_dict", blob) if isinstance(blob, dict) else blob
     # Copy: torch buffers (BN running stats) mutate in place, and jax's CPU
     # backend can zero-copy numpy views — the import must snapshot.
     return {k: np.array(v.detach().cpu().numpy()) for k, v in state_dict.items()
             if hasattr(v, "detach")}
+
+
+def load_state_dict(path: str) -> dict:
+    """Load a .pth checkpoint's model state_dict as numpy arrays."""
+    return _state_dict_arrays(_load_blob(path))
 
 
 def _conv_from(sd, prefix, use_bias):
@@ -193,9 +200,12 @@ def import_adam_state(path: str, config: UNetConfig):
     structure and the shared step count — or None when the checkpoint has no
     optimizer state.
     """
+    return _adam_from_blob(_load_blob(path), config)
+
+
+def _adam_from_blob(blob, config: UNetConfig):
     import torch
 
-    blob = torch.load(path, map_location="cpu", weights_only=False)
     if not isinstance(blob, dict) or "optimizer_state_dict" not in blob:
         return None
     sd = blob["model_state_dict"]
@@ -241,9 +251,69 @@ def graft_adam_state(opt_state, mu, nu, count):
 
 def load_epoch(path: str) -> int:
     """Epoch recorded in a reference checkpoint (-1 for bare state_dicts)."""
-    import torch
-
-    blob = torch.load(path, map_location="cpu", weights_only=False)
+    blob = _load_blob(path)
     if isinstance(blob, dict) and "epoch" in blob:
         return int(blob["epoch"])
     return -1
+
+
+def scheduler_state_from_torch(sched_sd: dict, lr: float | None = None) -> dict:
+    """Translate a torch LR-scheduler state_dict into our scheduler state.
+
+    Covers the reference's three schedulers (lib/utils.py:344-377): StepLR /
+    ExponentialLR carry ``last_epoch`` + ``_last_lr``; ReduceLROnPlateau
+    carries best/num_bad_epochs/cooldown bookkeeping and stores NO lr of its
+    own (torch keeps it in the optimizer's param_groups — pass it as ``lr``).
+    Only keys present in the source appear in the result, so it loads into
+    whichever of our schedulers the config built.
+    """
+    out: dict = {}
+    if "last_epoch" in sched_sd:
+        out["n_steps"] = int(sched_sd["last_epoch"])
+    if sched_sd.get("_last_lr"):
+        out["lr"] = float(sched_sd["_last_lr"][0])
+    for src, dst in (("step_size", "step_size"), ("gamma", "gamma"),
+                     ("factor", "factor"), ("patience", "patience"),
+                     ("threshold", "threshold"), ("cooldown", "cooldown"),
+                     ("cooldown_counter", "cooldown_counter"),
+                     ("best", "best"), ("num_bad_epochs", "num_bad"),
+                     ("eps", "eps")):
+        if src in sched_sd:
+            out[dst] = sched_sd[src]
+    if sched_sd.get("min_lrs"):
+        out["min_lr"] = float(sched_sd["min_lrs"][0])
+    if "lr" not in out and lr is not None:
+        out["lr"] = float(lr)
+    return out
+
+
+def load_reference_checkpoint(path: str, config: UNetConfig,
+                              want_adam: bool = True):
+    """One-pass import of a reference .pth: weights, Adam moments, metadata.
+
+    Deserializes the checkpoint ONCE (a reference checkpoint carries weights
+    + both Adam moments — hundreds of MB for the flagship) and returns
+    ``(params, bn_state, adam, meta)`` where ``adam`` is the
+    :func:`import_adam_state` triple or None, and ``meta`` mirrors our native
+    checkpoint metadata: epoch, loss_val, lr (from the optimizer's
+    param_groups) and a translated ``scheduler_state``. The reference
+    restores all of these on warm start (lib/Trainer.py:113-143).
+    """
+    blob = _load_blob(path)
+    params, bn_state = params_from_state_dict(_state_dict_arrays(blob), config)
+    adam = _adam_from_blob(blob, config) if want_adam else None
+
+    meta = {"epoch": -1, "loss_val": None, "lr": None, "scheduler_state": None}
+    if isinstance(blob, dict):
+        if "epoch" in blob:
+            meta["epoch"] = int(blob["epoch"])
+        if blob.get("loss_val") is not None:
+            meta["loss_val"] = float(blob["loss_val"])
+        groups = blob.get("optimizer_state_dict", {}).get("param_groups") \
+            if isinstance(blob.get("optimizer_state_dict"), dict) else None
+        if groups and groups[0].get("lr") is not None:
+            meta["lr"] = float(groups[0]["lr"])
+        if isinstance(blob.get("scheduler_state_dict"), dict):
+            meta["scheduler_state"] = scheduler_state_from_torch(
+                blob["scheduler_state_dict"], lr=meta["lr"])
+    return params, bn_state, adam, meta

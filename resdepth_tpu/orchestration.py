@@ -77,6 +77,16 @@ def allocate_area(cfg) -> None:
         if "val" in area_type:
             dataset.area_defn_val = AttrDict(val_area)
         if "test" in area_type:
+            if not test_area:
+                # allocate_data returns test={} for cross-validation runs
+                # (the chosen stripe is the VAL area); fail here with the
+                # cause instead of a downstream KeyError on 'x_extent'.
+                raise ValueError(
+                    f"Dataset {dataset.get('name', dataset.raster_in)!r}: "
+                    "area_type 'test' with crossval_training=true allocates "
+                    "no test stripe (cross-validation uses the chosen stripe "
+                    "for validation). Use area_type 'val' or disable "
+                    "crossval_training.")
             dataset.area_defn = AttrDict(test_area)
 
 

@@ -74,10 +74,10 @@ def load_checkpoint(path: str, *, params_template=None, bn_template=None,
     def restore(name, template):
         if template is None:
             return None
-        paths, treedef = jax.tree_util.tree_flatten_with_path(template)
+        flat, treedef = jax.tree_util.tree_flatten_with_path(template)
         leaves = []
-        for path, leaf in paths:
-            key = f"{name}{jax.tree_util.keystr(path)}"
+        for leaf_path, leaf in flat:
+            key = f"{name}{jax.tree_util.keystr(leaf_path)}"
             if key not in stored:
                 raise KeyError(f"Checkpoint {path!r} is missing leaf {key!r}")
             value = stored[key]

@@ -124,6 +124,12 @@ class Trainer:
             self.scheduler.load_state_dict(meta["scheduler_state"])
             self.state = self.state.replace(
                 lr=jnp.asarray(self.scheduler.lr, jnp.float32))
+        elif meta.get("lr") is not None:
+            # No scheduler state to replay, but the checkpoint records the
+            # optimizer's LR at save time (the reference restores it through
+            # optimizer.load_state_dict, lib/Trainer.py:126).
+            self.state = self.state.replace(
+                lr=jnp.asarray(float(meta["lr"]), jnp.float32))
         self.logger.info(f"\n\nRestoring the pretrained model from epoch "
                          f"{self.start_epoch}.")
         self.logger.info(f"Current best loss {self.best_loss}\n")

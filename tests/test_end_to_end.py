@@ -366,6 +366,81 @@ def test_train_multi_region(make_geotiff, tmp_path, monkeypatch):
     assert "val/MAE_metric" in metrics
 
 
+def test_train_warm_start_cli(make_geotiff, tmp_path, monkeypatch):
+    """CLI warm start: a prior run's checkpoint continues through
+    model.pretrained_path — from the native .npz AND from a
+    reference-format .pth (epoch arithmetic n_epochs += start_epoch,
+    scheduler LR restored, artifacts carried forward)."""
+    paths, dsm, gt = _write_scene(make_geotiff, tmp_path)
+
+    def cfg_for(out_name, n_epochs, pretrained=None):
+        cfg = {
+            "datasets": [{"name": "synthetic",
+                          "raster_in": paths["raster_in"],
+                          "raster_gt": paths["raster_gt"],
+                          "area_type": "train+val",
+                          "allocation_strategy": "5-crossval_vertical",
+                          "test_stripe": 1, "n_training_samples": 16}],
+            "model": {"input_channels": "geom", "depth": 2, "start_kernel": 4,
+                      "max_filter_depth": 8},
+            "training_settings": {"tile_size": 16, "batch_size": 4,
+                                  "n_epochs": n_epochs, "augment": False,
+                                  "loss": "L1"},
+            "optimizer": {"name": "Adam", "learning_rate": 0.001},
+            "scheduler": {"enabled": True, "name": "StepLR",
+                          "settings": {"step_size": 1, "gamma": 0.5}},
+            "general": {"evaluate_rate": 1, "random_seed": 0},
+            "output": {"output_directory": str(tmp_path / out_name)},
+        }
+        if pretrained:
+            cfg["model"]["pretrained_path"] = pretrained
+        path = tmp_path / f"{out_name}.json"
+        path.write_text(json.dumps(cfg))
+        return str(path)
+
+    import train as train_cli
+    _run_cli(train_cli.main, cfg_for("runs_base", 2), monkeypatch)
+    base_dir = sorted((tmp_path / "runs_base").iterdir())[0]
+    last_npz = base_dir / "checkpoints" / "Model_last.npz"
+    assert last_npz.exists()
+
+    # ---- native .npz warm start ---- #
+    _run_cli(train_cli.main, cfg_for("runs_resume", 1, str(last_npz)),
+             monkeypatch)
+    resume_dir = sorted((tmp_path / "runs_resume").iterdir())[0]
+    log = (resume_dir / "training.log").read_text()
+    assert "Restoring the pretrained model from epoch 2" in log
+    assert "Epoch 2/2" in log          # n_epochs += start_epoch arithmetic
+    # StepLR(step 1, gamma 0.5) stepped twice in the base run
+    metrics = [json.loads(line)
+               for line in (resume_dir / "metrics.jsonl").read_text().splitlines()
+               if "learning_rate" in line]
+    assert metrics and metrics[0]["value"] == pytest.approx(0.001 * 0.25)
+    # prior best checkpoint carried forward into the new run dir
+    assert (resume_dir / "checkpoints" / "Model_best.npz").exists()
+
+    # ---- reference-format .pth warm start ---- #
+    from resdepth_tpu.config import io as _io
+    from resdepth_tpu.models.torch_import import export_checkpoint
+    from resdepth_tpu.models.unet import init_unet as _init, \
+        unet_config_from_settings
+    from resdepth_tpu.train import checkpoint as _ckpt
+    import jax as _jax
+    arch = _io.read_json(str(base_dir / "model_config.json"))
+    mconf = unet_config_from_settings(arch.settings)
+    p0, b0 = _init(_jax.random.PRNGKey(0), mconf)
+    meta, p0, b0, _ = _ckpt.load_checkpoint(str(last_npz), params_template=p0,
+                                            bn_template=b0)
+    pth = str(tmp_path / "Model_last.pth")
+    export_checkpoint(pth, p0, b0, mconf, epoch=meta["epoch"],
+                      loss_val=meta.get("loss_val"))
+    _run_cli(train_cli.main, cfg_for("runs_resume_pth", 1, pth), monkeypatch)
+    pth_dir = sorted((tmp_path / "runs_resume_pth").iterdir())[0]
+    log = (pth_dir / "training.log").read_text()
+    assert "Restoring the pretrained model from epoch 2" in log
+    assert (pth_dir / "checkpoints" / "Model_last.npz").exists()
+
+
 def test_train_steps_per_call(make_geotiff, tmp_path, monkeypatch):
     """tpu.steps_per_call > 1 trains via scanned multi-step dispatches."""
     paths, _, _ = _write_scene(make_geotiff, tmp_path)

@@ -193,6 +193,48 @@ def test_fold_batchnorm_keeps_outer_skip_bn():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_load_reference_checkpoint_restores_metadata(tmp_path):
+    """A .pth warm start restores everything the reference's _load_pretrain
+    restores (lib/Trainer.py:113-143): epoch, best val loss, the optimizer's
+    LR and the scheduler state — in one deserialization."""
+    import torch
+
+    config = _small_config()
+    torch.manual_seed(1)
+    from tests.torch_unet import TorchUNet
+    model = TorchUNet(**_torch_kwargs(config))
+    optimizer = torch.optim.Adam(model.parameters(), lr=2e-4, weight_decay=1e-5)
+    scheduler = torch.optim.lr_scheduler.StepLR(optimizer, step_size=2, gamma=0.5)
+    model.train()
+    for _ in range(5):
+        optimizer.zero_grad()
+        model(torch.randn(2, config.n_input_channels, 32, 32)).mean().backward()
+        optimizer.step()
+        scheduler.step()
+    # after 5 scheduler epochs with step 2/gamma 0.5: lr = 2e-4 * 0.5^2
+    path = str(tmp_path / "ckpt.pth")
+    torch.save({"epoch": 4, "model_state_dict": model.state_dict(),
+                "optimizer_state_dict": optimizer.state_dict(),
+                "scheduler_state_dict": scheduler.state_dict(),
+                "loss_train": 0.4, "loss_val": 0.31}, path)
+
+    params, bn_state, adam, meta = torch_import.load_reference_checkpoint(
+        path, config)
+    assert adam is not None and int(adam[2]) == 5
+    assert meta["epoch"] == 4
+    assert meta["loss_val"] == pytest.approx(0.31)
+    assert meta["lr"] == pytest.approx(2e-4 * 0.25)
+
+    from resdepth_tpu.train.schedulers import StepLR
+    ours = StepLR(2e-4, step_size=2, gamma=0.5)
+    ours.load_state_dict(meta["scheduler_state"])
+    assert ours.lr == pytest.approx(2e-4 * 0.25)
+    assert ours.n_steps == 5
+    # the restored scheduler continues the torch trajectory
+    scheduler.step()
+    assert ours.step() == pytest.approx(scheduler.get_last_lr()[0])
+
+
 def test_import_adam_state(tmp_path):
     """Adam moments from a reference checkpoint map onto our pytrees."""
     import torch

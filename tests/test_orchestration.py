@@ -49,6 +49,15 @@ def test_allocate_area_crossval(make_geotiff):
     assert ds.area_defn_train["x_extent"] == [(0, 9), (20, 49)]
 
 
+def test_allocate_area_crossval_test_area_rejected(make_geotiff):
+    """crossval_training allocates no test stripe (the chosen stripe is the
+    VAL area); requesting a test area must fail with the cause at allocation
+    time, not a downstream KeyError on 'x_extent'."""
+    cfg = _cfg_with_datasets(make_geotiff, area_type="test", crossval=True)
+    with pytest.raises(ValueError, match="no test stripe"):
+        orchestration.allocate_area(cfg)
+
+
 def test_allocate_area_entire(make_geotiff):
     cfg = _cfg_with_datasets(make_geotiff)
     cfg.datasets[0].allocation_strategy = "entire"

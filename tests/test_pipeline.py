@@ -449,6 +449,22 @@ def test_tile_size_exceeding_region_raises_clearly(make_geotiff):
                     ortho_std=25.0)
 
 
+def test_missing_nodata_tag_raises_clearly(tmp_path):
+    """A DSM GeoTIFF without a NODATA tag fails at construction naming the
+    file (the reference crashes in np.array(None).astype on this,
+    lib/DsmOrthoDataset.py:303-305)."""
+    from resdepth_tpu.geo import tiff as tiff_mod
+
+    path = str(tmp_path / "no_nodata.tif")
+    tiff_mod.write(path, np.zeros((32, 32), np.float32),
+                   geotransform=(0, 1, 0, 0, 0, -1))
+    entry = {"raster_in": path,
+             "area_defn": {"x_extent": [(0, 31)], "y_extent": [(0, 31)]}}
+    with pytest.raises(ValueError, match="no_nodata.tif.*no NODATA tag"):
+        TileDataset(entry, input_channels="geom", tile_size=16,
+                    sampling_strategy="test", dsm_std=5.0)
+
+
 def test_subtile_region_clamps_like_reference(make_geotiff):
     """A val/test region NARROWER than the tile is served by a single tile
     clamped inward so its trailing edge lands on the region border

@@ -285,21 +285,18 @@ def main() -> None:
     if pretrained_path:
         if pretrained_path.endswith(".pth"):
             logger.info(f"Importing reference checkpoint: {pretrained_path}")
-            params, bn_state = torch_import.import_checkpoint(
-                pretrained_path, model_config)
+            params, bn_state, adam, resume_meta = \
+                torch_import.load_reference_checkpoint(
+                    pretrained_path, model_config,
+                    want_adam=cfg.optimizer.name == "Adam")
             state = init_train_state(params, bn_state, tx,
                                      cfg.optimizer.learning_rate)
-            adam = (torch_import.import_adam_state(pretrained_path, model_config)
-                    if cfg.optimizer.name == "Adam" else None)
             if adam is not None:
                 mu, nu, count = adam
                 state = state.replace(opt_state=torch_import.graft_adam_state(
                     state.opt_state, mu, nu, count))
                 logger.info("Restored Adam optimizer moments from the "
                             "reference checkpoint.")
-            blob_epoch = torch_import.load_epoch(pretrained_path)
-            resume_meta = {"epoch": blob_epoch, "loss_val": None,
-                           "scheduler_state": None}
         else:
             logger.info(f"Restoring checkpoint: {pretrained_path}")
             resume_meta, params, bn_state, opt_state = ckpt_io.load_checkpoint(
