@@ -13,6 +13,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import tempfile
 import threading
 
 _SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -27,9 +28,20 @@ class NativeUnavailable(RuntimeError):
 
 
 def _build() -> None:
-    subprocess.run(
-        ["g++", "-O2", "-shared", "-fPIC", "-o", _SO, _SRC],
-        check=True, capture_output=True)
+    # Compile to a private temp file and publish with an atomic rename:
+    # concurrent processes (parallel pytest workers, train+test side by
+    # side) racing `g++ -o` on the same path would interleave writes and
+    # persist a corrupt .so that every later run trusts by mtime.
+    fd, tmp = tempfile.mkstemp(suffix=".so", dir=os.path.dirname(_SO))
+    os.close(fd)
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, _SRC],
+            check=True, capture_output=True)
+        os.replace(tmp, _SO)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def _load():
@@ -45,7 +57,17 @@ def _load():
                 _build()
             except (OSError, subprocess.CalledProcessError) as exc:
                 raise NativeUnavailable(f"native codec build failed: {exc}") from exc
-        lib = ctypes.CDLL(_SO)
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError as exc:
+            # A stale/corrupt artifact (e.g. from an interrupted older
+            # build) — rebuild once before giving up.
+            try:
+                _build()
+                lib = ctypes.CDLL(_SO)
+            except (OSError, subprocess.CalledProcessError) as exc2:
+                raise NativeUnavailable(
+                    f"native codec load failed: {exc2}") from exc
         for name in ("rd_lzw_decode", "rd_lzw_encode", "rd_packbits_decode"):
             fn = getattr(lib, name)
             fn.restype = ctypes.c_long
@@ -63,13 +85,17 @@ def _run_growing(fn, data: bytes, initial_cap: int) -> bytes:
         if n == -2:
             raise ValueError("malformed compressed stream")
         if n >= 0:
-            return bytes(bytearray(buffer)[:n])
+            return ctypes.string_at(buffer, n)  # one n-byte copy
         cap *= 4
 
 
-def lzw_decode(data: bytes) -> bytes:
+def lzw_decode(data: bytes, expected_size: int | None = None) -> bytes:
+    """``expected_size`` (the known decompressed strip size from the TIFF
+    byte counts) sizes the output buffer exactly, skipping the grow-and-retry
+    passes a highly compressible strip (nodata regions) would otherwise pay."""
     lib = _load()
-    return _run_growing(lib.rd_lzw_decode, data, 8 * len(data))
+    initial = expected_size + 1 if expected_size else 8 * len(data)
+    return _run_growing(lib.rd_lzw_decode, data, initial)
 
 
 def lzw_encode(data: bytes) -> bytes:
@@ -77,6 +103,7 @@ def lzw_encode(data: bytes) -> bytes:
     return _run_growing(lib.rd_lzw_encode, data, 2 * len(data) + 1024)
 
 
-def packbits_decode(data: bytes) -> bytes:
+def packbits_decode(data: bytes, expected_size: int | None = None) -> bytes:
     lib = _load()
-    return _run_growing(lib.rd_packbits_decode, data, 4 * len(data))
+    initial = expected_size + 1 if expected_size else 4 * len(data)
+    return _run_growing(lib.rd_packbits_decode, data, initial)

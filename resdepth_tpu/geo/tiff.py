@@ -125,11 +125,15 @@ class TiffInfo:
         return (x - i * gsd_x, gsd_x, 0.0, y + j * gsd_y, 0.0, -gsd_y)
 
 
-def _lzw_decode(data: bytes) -> bytes:
-    """Decode TIFF-variant LZW (MSB-first codes, early code change)."""
+def _lzw_decode(data: bytes, expected_size: int | None = None) -> bytes:
+    """Decode TIFF-variant LZW (MSB-first codes, early code change).
+
+    ``expected_size`` (known from the TIFF strip geometry) sizes the native
+    output buffer exactly, avoiding grow-and-retry passes on highly
+    compressible strips."""
     try:
         from resdepth_tpu.geo import _native
-        return _native.lzw_decode(data)
+        return _native.lzw_decode(data, expected_size)
     except Exception:
         pass
     return _lzw_decode_py(data)
@@ -235,16 +239,23 @@ def _lzw_encode_py(data: bytes) -> bytes:
         w = bytes([byte])
     if w:
         put(table[w], code_width)
+        # The decoder adds a table entry for this final code and applies the
+        # early-change width bump BEFORE reading the next code, so EOI must
+        # be written at the width the decoder will read it with (libtiff's
+        # LZWPostEncode does the same). next_code was NOT incremented for
+        # this code, hence >= where the mid-stream check uses >.
+        if next_code + 1 >= (1 << code_width) and code_width < 12:
+            code_width += 1
     put(EOI, code_width)
     if bitcnt:
         out.append((bitbuf << (8 - bitcnt)) & 0xFF)
     return bytes(out)
 
 
-def _packbits_decode(data: bytes) -> bytes:
+def _packbits_decode(data: bytes, expected_size: int | None = None) -> bytes:
     try:
         from resdepth_tpu.geo import _native
-        return _native.packbits_decode(data)
+        return _native.packbits_decode(data, expected_size)
     except Exception:
         pass
     return _packbits_decode_py(data)
@@ -266,15 +277,16 @@ def _packbits_decode_py(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _decompress(chunk: bytes, compression: int) -> bytes:
+def _decompress(chunk: bytes, compression: int,
+                expected_size: int | None = None) -> bytes:
     if compression == 1:
         return chunk
     if compression in (8, 32946):
         return zlib.decompress(chunk)
     if compression == 5:
-        return _lzw_decode(chunk)
+        return _lzw_decode(chunk, expected_size)
     if compression == 32773:
-        return _packbits_decode(chunk)
+        return _packbits_decode(chunk, expected_size)
     raise ValueError(f"Unsupported TIFF compression: {compression}")
 
 
@@ -433,7 +445,8 @@ def read(path: str):
             tiles_across = (cols + tile_w - 1) // tile_w
             for idx, (off, cnt) in enumerate(zip(offsets, counts)):
                 f.seek(off)
-                raw = _decompress(f.read(cnt), compression)
+                raw = _decompress(f.read(cnt), compression,
+                                  tile_l * tile_w * spp * dtype.itemsize)
                 block = np.frombuffer(raw, dtype=dtype, count=tile_l * tile_w * spp)
                 block = block.reshape(tile_l, tile_w * spp)
                 block = _undo_predictor(block, predictor, spp)
@@ -450,8 +463,9 @@ def read(path: str):
             y = 0
             for off, cnt in zip(offsets, counts):
                 f.seek(off)
-                raw = _decompress(f.read(cnt), compression)
                 n_rows = min(rows_per_strip, rows - y)
+                raw = _decompress(f.read(cnt), compression,
+                                  n_rows * cols * spp * dtype.itemsize)
                 block = np.frombuffer(raw, dtype=dtype, count=n_rows * cols * spp)
                 block = block.reshape(n_rows, cols * spp)
                 block = _undo_predictor(block, predictor, spp)

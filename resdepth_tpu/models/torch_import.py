@@ -274,7 +274,9 @@ def scheduler_state_from_torch(sched_sd: dict, lr: float | None = None) -> dict:
         out["lr"] = float(sched_sd["_last_lr"][0])
     for src, dst in (("step_size", "step_size"), ("gamma", "gamma"),
                      ("factor", "factor"), ("patience", "patience"),
-                     ("threshold", "threshold"), ("cooldown", "cooldown"),
+                     ("threshold", "threshold"),
+                     ("threshold_mode", "threshold_mode"),
+                     ("cooldown", "cooldown"),
                      ("cooldown_counter", "cooldown_counter"),
                      ("best", "best"), ("num_bad_epochs", "num_bad"),
                      ("eps", "eps")):

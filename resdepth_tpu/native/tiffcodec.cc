@@ -188,6 +188,12 @@ long rd_lzw_encode(const uint8_t* src, long n, uint8_t* dst, long cap) {
     w = byte;
   }
   if (!put(w)) return -1;
+  // The decoder adds a table entry for this final code and applies the
+  // early-change width bump BEFORE reading the next code, so EOI must be
+  // written at the width the decoder will read it with (libtiff's
+  // LZWPostEncode). `next` was NOT incremented here, hence >= where the
+  // mid-stream check uses >.
+  if (next + 1 >= (1 << code_width) && code_width < 12) ++code_width;
   if (!put(kEoi)) return -1;
   if (bitcnt > 0) {
     if (out >= cap) return -1;

@@ -64,13 +64,19 @@ class ReduceLROnPlateau(_SchedulerBase):
     """
 
     def __init__(self, initial_lr, factor=0.1, patience=10, threshold=1e-4,
-                 cooldown=0, min_lr=0.0, eps=1e-8):
+                 threshold_mode="rel", cooldown=0, min_lr=0.0, eps=1e-8):
         super().__init__(initial_lr)
+        if threshold_mode not in ("rel", "abs"):
+            raise ValueError(f"threshold_mode must be 'rel' or 'abs', "
+                             f"got {threshold_mode!r}")
         self.factor = float(factor)
         self.patience = int(patience)
         self.threshold = float(threshold)
+        self.threshold_mode = threshold_mode
         self.cooldown = int(cooldown)
-        self.min_lr = float(min_lr)
+        # torch accepts a per-param-group list; one group exists here
+        self.min_lr = float(min_lr[0] if isinstance(min_lr, (list, tuple))
+                            else min_lr)
         self.eps = float(eps)
         self.best = float("inf")
         self.num_bad = 0
@@ -80,7 +86,10 @@ class ReduceLROnPlateau(_SchedulerBase):
         if metric is None:
             return self.lr
         metric = float(metric)
-        if metric < self.best * (1.0 - self.threshold):
+        improved = (metric < self.best - self.threshold
+                    if self.threshold_mode == "abs"
+                    else metric < self.best * (1.0 - self.threshold))
+        if improved:
             self.best = metric
             self.num_bad = 0
         else:

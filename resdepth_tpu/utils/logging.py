@@ -40,6 +40,10 @@ def _default_formatter() -> LeveledFormatter:
 
 
 def setup_logger(logger_name, level=logging.INFO, log_to_console=True, log_file=None):
+    """Idempotent: named loggers are process-cached by the logging module, so
+    call sites that lazily set up 'their' logger per call (per evaluated
+    prediction, per parsed pairlist, ...) would otherwise stack one more
+    handler each time and print every line N times."""
     logger = logging.getLogger(logger_name)
     logger.setLevel(level)
     if log_to_console:
@@ -50,12 +54,26 @@ def setup_logger(logger_name, level=logging.INFO, log_to_console=True, log_file=
 
 
 def add_console_logger(logger: logging.Logger) -> None:
+    """Attach a console handler unless one is already attached."""
+    for existing in logger.handlers:
+        if type(existing) is logging.StreamHandler:
+            return
     handler = logging.StreamHandler()
     handler.setFormatter(_default_formatter())
     logger.addHandler(handler)
 
 
 def add_file_logger(logger: logging.Logger, log_file: str) -> None:
+    """Attach an append-mode file handler unless that file is already
+    attached (distinct files coexist — per-dataset/per-pair report loggers
+    use dedicated logger names and files)."""
+    import os
+
+    target = os.path.abspath(log_file)
+    for existing in logger.handlers:
+        if isinstance(existing, logging.FileHandler) and \
+                existing.baseFilename == target:
+            return
     handler = logging.FileHandler(log_file, mode="a")
     handler.setFormatter(_default_formatter())
     logger.addHandler(handler)

@@ -322,6 +322,32 @@ def test_create_regular_grid_property(seed):
     np.testing.assert_allclose(acc[region], 1.0, atol=1e-5)
 
 
+def test_lzw_early_change_at_final_code_boundary():
+    """EOI must be written at the width the decoder reads it with: the
+    decoder adds a table entry for the FINAL data code and applies the
+    early-change bump before reading EOI (libtiff LZWPostEncode semantics).
+    Inputs whose final code lands exactly on a width boundary round-trip."""
+    from resdepth_tpu.geo import _native
+
+    def distinct_pair_seq(n):
+        seq, a = [], 0
+        while len(seq) < n:
+            for k in range(1, 256):
+                seq += [a, k]
+                if len(seq) >= n:
+                    break
+            a += 1
+        return bytes(seq[:n])
+
+    for n in range(760, 775):   # 9->10-bit boundary under 1-code-per-byte input
+        payload = distinct_pair_seq(n)
+        assert tiff._lzw_decode_py(tiff._lzw_encode_py(payload)) == payload, n
+        assert _native.lzw_decode(_native.lzw_encode(payload)) == payload, n
+        # cross-implementation agreement
+        assert _native.lzw_decode(tiff._lzw_encode_py(payload)) == payload, n
+        assert tiff._lzw_decode_py(_native.lzw_encode(payload)) == payload, n
+
+
 def test_tiff_corrupt_headers_fail_fast(tmp_path):
     """Corrupt tag counts / dimensions raise clean ValueErrors instead of
     preallocating gigabytes (fuzzing found f.read(total) hangs on 1-core

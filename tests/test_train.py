@@ -83,6 +83,31 @@ def test_plateau_scheduler_matches_torch():
                                    rtol=1e-10)
 
 
+def test_plateau_scheduler_abs_threshold_matches_torch():
+    """threshold_mode='abs' (torch-valid via the reference's **settings
+    passthrough, lib/utils.py:359-360) and list-valued min_lr are accepted
+    and track torch exactly."""
+    import torch
+
+    param = torch.nn.Parameter(torch.zeros(1))
+    optimizer = torch.optim.SGD([param], lr=0.1)
+    torch_sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        optimizer, mode="min", factor=0.5, patience=1, threshold=0.05,
+        threshold_mode="abs", min_lr=[0.01])
+    ours = schedulers.ReduceLROnPlateau(0.1, factor=0.5, patience=1,
+                                        threshold=0.05, threshold_mode="abs",
+                                        min_lr=[0.01])
+    metrics = [1.0, 0.97, 0.94, 0.93, 0.92, 0.91, 0.5, 0.48, 0.46, 0.44]
+    for metric in metrics:
+        torch_sched.step(metric)
+        ours.step(metric)
+        np.testing.assert_allclose(ours.lr, optimizer.param_groups[0]["lr"],
+                                   rtol=1e-10)
+
+    with pytest.raises(ValueError, match="threshold_mode"):
+        schedulers.ReduceLROnPlateau(0.1, threshold_mode="bogus")
+
+
 def test_scheduler_state_roundtrip():
     sched = schedulers.ReduceLROnPlateau(0.1, factor=0.5, patience=1)
     sched.step(1.0)

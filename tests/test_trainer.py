@@ -72,6 +72,36 @@ def test_metrics_jsonl_is_strict_json(tmp_path):
     assert parsed[2]["metrics"]["hparam/MAE_metric"] is None
 
 
+def test_setup_logger_is_idempotent(tmp_path, capsys):
+    """Named loggers are process-cached: repeated setup of the same logger
+    (per-prediction eval loggers, per-pairlist parsers) must not stack
+    handlers and print every line N times."""
+    import logging
+
+    from resdepth_tpu.utils.logging import (add_console_logger,
+                                            add_file_logger, setup_logger)
+
+    name = "idempotency_probe"
+    log_file = str(tmp_path / "probe.log")
+    for _ in range(3):
+        logger = setup_logger(name, log_to_console=True, log_file=log_file)
+        add_console_logger(logger)
+        add_file_logger(logger, log_file)
+    handlers = logging.getLogger(name).handlers
+    assert len([h for h in handlers if type(h) is logging.StreamHandler]) == 1
+    assert len([h for h in handlers
+                if isinstance(h, logging.FileHandler)]) == 1
+
+    logger.info("exactly once")
+    assert open(log_file).read().count("exactly once") == 1
+
+    # a second, distinct file coexists (per-pair report loggers)
+    other = str(tmp_path / "other.log")
+    add_file_logger(logger, other)
+    assert len([h for h in logging.getLogger(name).handlers
+                if isinstance(h, logging.FileHandler)]) == 2
+
+
 def test_epoch_chunks_full_in_multi_region_configs(tmp_path):
     """Chunks are built per loader BEFORE the cross-loader shuffle: with n
     regions a global batch-level shuffle leaves same-loader runs of ~n/(n-1)
