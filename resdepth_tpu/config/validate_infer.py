@@ -239,8 +239,16 @@ def _valid_output_args(cfg, logger) -> bool:
         error = True
     elif not is_string(output.directory, "directory", logger):
         error = True
+    elif not output.directory.strip():
+        logger.error("Invalid 'directory': empty path.\n")
+        error = True
     else:
-        fs.make_dir(output.directory)
+        try:
+            fs.make_dir(output.directory)
+        except OSError as exc:
+            logger.error(f"Cannot create output directory "
+                         f"{output.directory!r}: {exc}\n")
+            error = True
     return not error
 
 
@@ -266,6 +274,10 @@ def validate_and_update_cfg_file(cfg_file, logger=None) -> AttrDict:
     if missing:
         logger.error("The following keys are missing: {}.\n".format(
             ",".join(f"'{k}'" for k in missing)))
+        return AttrDict(status=False, cfg={})
+
+    from resdepth_tpu.config.validate_train import _sections_well_typed
+    if not _sections_well_typed(cfg, logger):
         return AttrDict(status=False, cfg={})
 
     if not _valid_model_args(cfg, logger):

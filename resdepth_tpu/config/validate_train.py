@@ -251,7 +251,11 @@ def _valid_training_args(cfg_user, logger) -> bool:
     error = not all_keys_known(training, schema.TRAINING_KEYS, logger)
 
     if "tile_size" in training:
-        depth = cfg_user.get("model", {}).get("depth", default_cfg().model.depth)
+        depth = cfg_user.get("model", {}).get("depth", None)
+        if not isinstance(depth, int) or isinstance(depth, bool) or depth < 1:
+            # an invalid user depth is reported by the model-section check;
+            # fall back to the default so the tile check stays well-defined
+            depth = default_cfg().model.depth
         if not valid_tile_size(training.tile_size, "tile_size", depth + 2, logger):
             error = True
     for key in ("n_training_samples", "batch_size", "n_epochs"):
@@ -348,6 +352,11 @@ def _valid_output_args(cfg_user, logger) -> bool:
         error = True
     elif not is_string(output.output_directory, "output_directory", logger):
         error = True
+    elif not output.output_directory.strip():
+        # '' would silently resolve run dirs relative to the CWD (the
+        # reference's check dies with a raw FileNotFoundError on it)
+        logger.error("Invalid 'output_directory': empty path.\n")
+        error = True
     for key in ("tboard_log_dir", "suffix"):
         if key in output and not is_string(output[key], key, logger):
             error = True
@@ -409,6 +418,27 @@ _SECTION_CHECKS = [
 ]
 
 
+def _sections_well_typed(cfg_user, logger) -> bool:
+    """Primary sections must be objects ('datasets' a list of objects): a
+    scalar where a section is expected would otherwise surface as a raw
+    AttributeError deep inside a section check (the reference crashes with a
+    TypeError on the same inputs) instead of the clean ERROR-line contract
+    the CLIs promise."""
+    ok = True
+    for key, value in cfg_user.items():
+        if key == "datasets":
+            if not isinstance(value, list) or \
+                    any(not isinstance(d, dict) for d in value):
+                logger.error(f"Invalid section '{key}': expected a list of "
+                             f"objects, got {value!r}.\n")
+                ok = False
+        elif not isinstance(value, dict):
+            logger.error(f"Invalid section '{key}': expected an object, "
+                         f"got {value!r}.\n")
+            ok = False
+    return ok
+
+
 def validate_cfg_file(cfg_file, logger=None) -> bool:
     """Validate a user training configuration. Returns True when clean."""
     if logger is None:
@@ -426,6 +456,9 @@ def validate_cfg_file(cfg_file, logger=None) -> bool:
     if missing:
         logger.error("The following keys are missing: {}.\n".format(
             ",".join(f"'{k}'" for k in missing)))
+        return False
+
+    if not _sections_well_typed(cfg_user, logger):
         return False
 
     ok = True

@@ -1,5 +1,6 @@
 """Config layer: defaults, merge, schema validation, dataset augmentation."""
 
+import json
 import logging
 import os
 
@@ -266,6 +267,85 @@ def test_validate_infer_tile_stride(make_geotiff, tmp_path):
     # from the stride range arithmetic
     for bad_tile in ("256", 17, None):
         assert check_with_tile_size(bad_tile, 8) is False, bad_tile
+
+
+def test_validators_reject_malformed_sections_cleanly(make_geotiff, tmp_path):
+    """A scalar where a section object is expected (found by randomized
+    differential fuzzing — both sides crashed; the reference still does)
+    must produce a clean False verdict, not an AttributeError."""
+    raster = make_geotiff("dsm.tif", np.zeros((64, 64), np.float32))
+    gt = make_geotiff("gt.tif", np.zeros((64, 64), np.float32))
+    base = {
+        "datasets": [{"raster_in": raster, "raster_gt": gt,
+                      "area_type": "train+val"}],
+        "model": {"input_channels": "geom", "depth": 3},
+        "training_settings": {"tile_size": 64, "batch_size": 2, "n_epochs": 1},
+        "optimizer": {"name": "Adam", "learning_rate": 2e-4},
+        "scheduler": {"enabled": False},
+        "general": {"allocation_strategy": "5-crossval_vertical",
+                    "test_stripe": 1},
+        "output": {"output_directory": str(tmp_path / "out")},
+    }
+    assert validate_train.validate_cfg_file(dict(base), logger) is True
+
+    for key, bad in (("general", 2), ("model", "geom"), ("datasets", 7),
+                     ("datasets", [3]), ("output", [1, 2]),
+                     ("scheduler", "entire")):
+        cfg = json.loads(json.dumps(base))
+        cfg[key] = bad
+        assert validate_train.validate_cfg_file(cfg, logger) is False, (key, bad)
+
+    # non-integer model.depth: rejected by the model check, and the
+    # tile-size check must not crash in range() on the float
+    for bad_depth in (1.5, -0.5, 1e9):
+        cfg = json.loads(json.dumps(base))
+        cfg["model"]["depth"] = bad_depth
+        assert validate_train.validate_cfg_file(cfg, logger) is False, bad_depth
+
+    # scheduler.settings must be an object (the reference accepts a scalar
+    # and crashes later in the torch constructor)
+    cfg = json.loads(json.dumps(base))
+    cfg["scheduler"] = {"enabled": True, "name": "StepLR", "settings": "geom"}
+    assert validate_train.validate_cfg_file(cfg, logger) is False
+
+    # missing optional sections are fine: defaults fill in (the reference
+    # validator crashes on an absent 'general')
+    cfg = json.loads(json.dumps(base))
+    del cfg["general"]
+    del cfg["scheduler"]
+    assert validate_train.validate_cfg_file(cfg, logger) is True
+
+    # random_seed: null is a documented relaxation (train.py seeds with 0)
+    cfg = json.loads(json.dumps(base))
+    cfg["general"]["random_seed"] = None
+    assert validate_train.validate_cfg_file(cfg, logger) is True
+
+    # empty output_directory: clean rejection (the reference's check crashes
+    # with a raw FileNotFoundError)
+    cfg = json.loads(json.dumps(base))
+    cfg["output"]["output_directory"] = ""
+    assert validate_train.validate_cfg_file(cfg, logger) is False
+
+
+def test_validate_infer_rejects_empty_output_directory(make_geotiff, tmp_path):
+    """Empty eval output.directory: clean rejection, not a FileNotFoundError
+    from the eager mkdir (fuzz-found; the reference crashes the same way)."""
+    raster = make_geotiff("dsm.tif", np.zeros((64, 64), np.float32))
+    arch = {"name": "UNet", "input_channels": "geom",
+            "settings": {"n_input_channels": 1, "depth": 2, "start_kernel": 4}}
+    arch_path = str(tmp_path / "model_config.json")
+    io.write_json(arch, arch_path)
+    weights_path = str(tmp_path / "weights.npz")
+    np.savez(weights_path, dummy=np.zeros(1))
+    norm_path = str(tmp_path / "norm.json")
+    io.write_json({"mean": None, "std": 1.0}, norm_path)
+    cfg = {
+        "datasets": [{"raster_in": raster}],
+        "model": {"weights": weights_path, "architecture": arch_path,
+                  "normalization_geom": norm_path},
+        "output": {"directory": ""},
+    }
+    assert validate_infer.validate_and_update_cfg_file(cfg, logger).status is False
 
 
 def test_compute_dtype_serving_modes_are_eval_only(make_geotiff, tmp_path):
