@@ -322,6 +322,84 @@ def test_create_regular_grid_property(seed):
     np.testing.assert_allclose(acc[region], 1.0, atol=1e-5)
 
 
+def test_tiff_tiled_organization_read(tmp_path):
+    """Tile-organised TIFFs (TileWidth/TileLength/TileOffsets — what GDAL
+    writes with -co TILED=YES) decode correctly, including edge tiles whose
+    padding must be cropped. The file is hand-assembled (our writer emits
+    strips) and cross-validated with PIL."""
+    import struct as st
+
+    rows, cols, tw, tl = 48, 40, 32, 32
+    rng = np.random.default_rng(5)
+    img = rng.normal(0, 100, (rows, cols)).astype(np.float32)
+
+    tiles_across = -(-cols // tw)
+    tiles_down = -(-rows // tl)
+    tile_blobs = []
+    for ty in range(tiles_down):
+        for tx in range(tiles_across):
+            block = np.zeros((tl, tw), np.float32)
+            ys, xs = ty * tl, tx * tw
+            h, w = min(tl, rows - ys), min(tw, cols - xs)
+            block[:h, :w] = img[ys:ys + h, xs:xs + w]
+            tile_blobs.append(block.tobytes())
+
+    tags = [
+        (256, 4, [cols]), (257, 4, [rows]), (258, 3, [32]), (259, 3, [1]),
+        (262, 3, [1]), (277, 3, [1]), (322, 4, [tw]), (323, 4, [tl]),
+        (339, 3, [3]),
+    ]
+    n_tiles = len(tile_blobs)
+    n_entries = len(tags) + 2  # + TileOffsets, TileByteCounts
+    ifd_off = 8
+    data_start = ifd_off + 2 + n_entries * 12 + 4
+    # out-of-line arrays: tile offsets + counts (4 bytes each)
+    arrays_off = data_start
+    tiles_off = arrays_off + 2 * 4 * n_tiles
+    offsets = []
+    pos = tiles_off
+    for blob in tile_blobs:
+        offsets.append(pos)
+        pos += len(blob)
+
+    def entry(tag, ftype, values, value_offset=None):
+        size = {3: 2, 4: 4}[ftype]
+        count = len(values)
+        if count * size <= 4:
+            payload = st.pack(f"<{count}{'H' if ftype == 3 else 'I'}", *values)
+            payload += b"\x00" * (4 - len(payload))
+            return st.pack("<HHI", tag, ftype, count) + payload
+        return st.pack("<HHII", tag, ftype, count, value_offset)
+
+    blob = bytearray(st.pack("<2sHI", b"II", 42, ifd_off))
+    blob += st.pack("<H", n_entries)
+    all_tags = tags + [(324, 4, offsets), (325, 4, [len(b) for b in tile_blobs])]
+    all_tags.sort(key=lambda t: t[0])
+    arr_cursor = arrays_off
+    for tag, ftype, values in all_tags:
+        if len(values) * 4 > 4 and tag in (324, 325):
+            blob += entry(tag, ftype, values, arr_cursor)
+            arr_cursor += 4 * len(values)
+        else:
+            blob += entry(tag, ftype, values)
+    blob += st.pack("<I", 0)  # next IFD
+    for tag, ftype, values in all_tags:
+        if len(values) * 4 > 4 and tag in (324, 325):
+            blob += st.pack(f"<{len(values)}I", *values)
+    for tile_blob in tile_blobs:
+        blob += tile_blob
+
+    path = str(tmp_path / "tiled.tif")
+    open(path, "wb").write(bytes(blob))
+
+    got, info = tiff.read(path)
+    np.testing.assert_array_equal(got, img)
+
+    from PIL import Image
+    pil = np.asarray(Image.open(path))
+    np.testing.assert_array_equal(pil, img)  # the handmade file is valid
+
+
 def test_lzw_early_change_at_final_code_boundary():
     """EOI must be written at the width the decoder reads it with: the
     decoder adds a table entry for the FINAL data code and applies the
