@@ -6,7 +6,7 @@ environment, so the framework ships its own TIFF 6.0 + GeoTIFF codec:
 
   * read: classic TIFF (little/big endian), strip- and tile-organised,
     uncompressed / Deflate (8, 32946) / LZW (5) / PackBits (32773),
-    horizontal predictor, chunky planar layout, u/int 8/16/32 and
+    horizontal predictor (2) + floating-point predictor (3), chunky planar layout, u/int 8/16/32 and
     float32/float64 samples;
   * write: single- or multi-band rasters as Deflate strips (LZW and
     uncompressed also supported), with GeoTIFF georeferencing tags
@@ -290,10 +290,35 @@ def _decompress(chunk: bytes, compression: int,
     raise ValueError(f"Unsupported TIFF compression: {compression}")
 
 
+def _undo_float_predictor(raw: bytes, n_rows: int, n_samples: int,
+                          dtype: np.dtype, spp: int) -> np.ndarray:
+    """Undo TIFF predictor 3 (floating-point horizontal differencing,
+    TIFF TechNote 3 / libtiff ``fpAcc``): per row, sample bytes are shuffled
+    into byte planes (plane 0 = most significant byte, endian-independent)
+    and difference-coded with stride ``spp`` across the whole shuffled row.
+    Returns the decoded (n_rows, n_samples) array. Cross-validated against
+    libtiff via PIL in the tests."""
+    itemsize = dtype.itemsize
+    row_bytes = n_samples * itemsize
+    arr = np.frombuffer(raw, np.uint8,
+                        count=n_rows * row_bytes).reshape(n_rows, row_bytes)
+    if spp == 1:
+        acc = np.cumsum(arr, axis=1, dtype=np.uint8)
+    else:
+        acc = np.cumsum(arr.reshape(n_rows, -1, spp), axis=1,
+                        dtype=np.uint8).reshape(n_rows, row_bytes)
+    planes = acc.reshape(n_rows, itemsize, n_samples)
+    interleaved = np.ascontiguousarray(planes.transpose(0, 2, 1))
+    out = interleaved.reshape(n_rows * n_samples, itemsize).view(
+        dtype.newbyteorder(">"))
+    return out.reshape(n_rows, n_samples)
+
+
 def _undo_predictor(block: np.ndarray, predictor: int, spp: int) -> np.ndarray:
     """Undo horizontal differencing. ``block``: (rows, cols*spp) chunky rows;
     differencing is per sample COMPONENT (TIFF 6.0 §14), so multi-band data
-    must be de-interleaved before the cumulative sum."""
+    must be de-interleaved before the cumulative sum. Predictor 3 operates
+    on raw bytes and is handled by :func:`_undo_float_predictor`."""
     if predictor == 1:
         return block
     if predictor != 2:
@@ -447,9 +472,14 @@ def read(path: str):
                 f.seek(off)
                 raw = _decompress(f.read(cnt), compression,
                                   tile_l * tile_w * spp * dtype.itemsize)
-                block = np.frombuffer(raw, dtype=dtype, count=tile_l * tile_w * spp)
-                block = block.reshape(tile_l, tile_w * spp)
-                block = _undo_predictor(block, predictor, spp)
+                if predictor == 3:
+                    block = _undo_float_predictor(raw, tile_l, tile_w * spp,
+                                                  dtype, spp)
+                else:
+                    block = np.frombuffer(raw, dtype=dtype,
+                                          count=tile_l * tile_w * spp)
+                    block = block.reshape(tile_l, tile_w * spp)
+                    block = _undo_predictor(block, predictor, spp)
                 block = block.reshape(tile_l, tile_w, spp)
                 ty, tx = divmod(idx, tiles_across)
                 y0, x0 = ty * tile_l, tx * tile_w
@@ -466,9 +496,14 @@ def read(path: str):
                 n_rows = min(rows_per_strip, rows - y)
                 raw = _decompress(f.read(cnt), compression,
                                   n_rows * cols * spp * dtype.itemsize)
-                block = np.frombuffer(raw, dtype=dtype, count=n_rows * cols * spp)
-                block = block.reshape(n_rows, cols * spp)
-                block = _undo_predictor(block, predictor, spp)
+                if predictor == 3:
+                    block = _undo_float_predictor(raw, n_rows, cols * spp,
+                                                  dtype, spp)
+                else:
+                    block = np.frombuffer(raw, dtype=dtype,
+                                          count=n_rows * cols * spp)
+                    block = block.reshape(n_rows, cols * spp)
+                    block = _undo_predictor(block, predictor, spp)
                 out[y:y + n_rows] = block.reshape(n_rows, cols, spp)
                 y += n_rows
 

@@ -400,7 +400,81 @@ def test_tiff_tiled_organization_read(tmp_path):
     np.testing.assert_array_equal(pil, img)  # the handmade file is valid
 
 
-def test_lzw_early_change_at_final_code_boundary():
+def _fp_predictor_tiff(path, img, spp=1):
+    """Hand-assemble a predictor-3 (floating-point differencing) deflate
+    TIFF the way libtiff's fpDiff does: per row, shuffle sample bytes into
+    MSB-first byte planes, then difference with stride spp."""
+    import struct as st
+    import zlib
+
+    rows, cols = img.shape[:2]
+    itemsize = img.dtype.itemsize
+    n_samples = cols * spp
+
+    def fp_diff_row(row_bytes):
+        arr = np.frombuffer(row_bytes, np.uint8).reshape(n_samples, itemsize)
+        planes = arr[:, ::-1].T.copy()          # plane 0 = MSB
+        flat = planes.reshape(-1).astype(np.int16)
+        diff = flat.copy()
+        diff[spp:] = flat[spp:] - flat[:-spp]
+        return (diff % 256).astype(np.uint8).tobytes()
+
+    payload = b"".join(fp_diff_row(img[r].tobytes()) for r in range(rows))
+    comp = zlib.compress(payload)
+    bits = itemsize * 8
+
+    tags = [(256, 4, [cols]), (257, 4, [rows]), (258, 3, [bits] * spp),
+            (259, 3, [8]), (262, 3, [1]), (273, 4, "DATA"), (277, 3, [spp]),
+            (278, 4, [rows]), (279, 4, [len(comp)]), (317, 3, [3]),
+            (339, 3, [3] * spp)]
+    n = len(tags)
+    ifd = 8
+    extra_off = ifd + 2 + n * 12 + 4
+    extra = bytearray()
+    entries = bytearray()
+    for tag, ftype, vals in tags:
+        size = {3: 2, 4: 4}[ftype]
+        if vals == "DATA":
+            entries += st.pack("<HHII", tag, ftype, 1, 0)  # patched below
+            data_entry_pos = len(entries) - 4
+            continue
+        count = len(vals)
+        fmt = "H" if ftype == 3 else "I"
+        packed = st.pack(f"<{count}{fmt}", *vals)
+        if len(packed) <= 4:
+            entries += st.pack("<HHI", tag, ftype, count) + \
+                packed + b"\x00" * (4 - len(packed))
+        else:
+            entries += st.pack("<HHII", tag, ftype, count,
+                               extra_off + len(extra))
+            extra += packed
+    data_off = extra_off + len(extra)
+    st.pack_into("<I", entries, data_entry_pos, data_off)
+    blob = st.pack("<2sHI", b"II", 42, ifd) + st.pack("<H", n) + \
+        bytes(entries) + st.pack("<I", 0) + bytes(extra) + comp
+    open(path, "wb").write(blob)
+
+
+@pytest.mark.parametrize("spp,dt", [(1, np.float32), (2, np.float32),
+                                    (1, np.float64)])
+def test_tiff_float_predictor_read(tmp_path, spp, dt):
+    """Predictor 3 (floating-point horizontal differencing — GDAL's
+    PREDICTOR=3 for float DSMs) decodes correctly for single- and
+    multi-band float32/float64; PIL (libtiff) validates the test files."""
+    rows, cols = 20, 17
+    rng = np.random.default_rng(9)
+    shape = (rows, cols) if spp == 1 else (rows, cols, spp)
+    img = rng.normal(400.0, 50.0, shape).astype(dt)
+
+    path = str(tmp_path / f"p3_{spp}_{np.dtype(dt).name}.tif")
+    _fp_predictor_tiff(path, img, spp=spp)
+
+    got, info = tiff.read(path)
+    np.testing.assert_array_equal(got, img)
+
+    if spp == 1 and dt is np.float32:  # PIL reads mode-F single-band floats
+        from PIL import Image
+        np.testing.assert_array_equal(np.asarray(Image.open(path)), img)
     """EOI must be written at the width the decoder reads it with: the
     decoder adds a table entry for the FINAL data code and applies the
     early-change bump before reading EOI (libtiff LZWPostEncode semantics).
