@@ -400,6 +400,36 @@ def test_tiff_tiled_organization_read(tmp_path):
     np.testing.assert_array_equal(pil, img)  # the handmade file is valid
 
 
+def test_tiff_write_float_predictor_default(tmp_path):
+    """Compressed float writes default to predictor 3: smaller files (GDAL's
+    PREDICTOR=3 practice), bit-exact round-trip, PIL-readable."""
+    rng = np.random.default_rng(2)
+    yy, xx = np.mgrid[0:128, 0:128].astype(np.float32)
+    dsm = (400 + 5 * np.sin(yy / 9) + 4 * np.cos(xx / 11)
+           + rng.normal(0, 0.05, (128, 128))).astype(np.float32)
+
+    plain = str(tmp_path / "plain.tif")
+    pred = str(tmp_path / "pred.tif")
+    tiff.write(plain, dsm, predictor=False)
+    tiff.write(pred, dsm)  # float default: predictor on
+
+    for path in (plain, pred):
+        back, _ = tiff.read(path)
+        np.testing.assert_array_equal(back, dsm)
+    import os as _os
+    assert _os.path.getsize(pred) < _os.path.getsize(plain)
+
+    from PIL import Image
+    np.testing.assert_array_equal(np.asarray(Image.open(pred)), dsm)
+
+    # integer data never gets the float predictor
+    ints = str(tmp_path / "ints.tif")
+    tiff.write(ints, (dsm * 100).astype(np.int32))
+    back, info = tiff.read(ints)
+    np.testing.assert_array_equal(back, (dsm * 100).astype(np.int32))
+    assert int(info.tags.get(317, 1)) == 1
+
+
 def _fp_predictor_tiff(path, img, spp=1):
     """Hand-assemble a predictor-3 (floating-point differencing) deflate
     TIFF the way libtiff's fpDiff does: per row, shuffle sample bytes into
