@@ -32,23 +32,26 @@ def _primary_platform(spec: str) -> str:
 
 
 def _platform_pinned_to_cpu() -> bool:
-    """True when the JAX platform is pinned to the host CPU — via the env
-    var, or via in-process config (``jax.config.update("jax_platforms",
-    "cpu")``, the test-conftest pattern; a subprocess would NOT inherit that
-    and would probe the real device). A list like ``'axon,cpu'`` is NOT
-    pinned: its primary target is the tunneled device, which can still hang."""
-    env_spec = os.environ.get("JAX_PLATFORMS", "")
-    if env_spec and _primary_platform(env_spec) == "cpu":
-        return True
+    """True when the JAX platform is pinned to the host CPU.
+
+    The IN-PROCESS config is authoritative when jax is already imported:
+    device-plugin sitecustomize hooks (axon) run ``register()`` at
+    interpreter start and override ``jax_platforms`` to ``'axon,cpu'``
+    regardless of a ``JAX_PLATFORMS=cpu`` env var — the env alone does NOT
+    guarantee a CPU run on such hosts. The env var decides only when jax is
+    not imported (no plugin hook ran). A list like ``'axon,cpu'`` is never
+    pinned: its primary target is the tunneled device, which can still hang.
+    """
     jax_mod = sys.modules.get("jax")
     if jax_mod is not None:
         try:
             spec = str(jax_mod.config.jax_platforms or "")
         except Exception:
-            return False
-        if spec and _primary_platform(spec) == "cpu":
-            return True
-    return False
+            spec = ""
+        if spec:
+            return _primary_platform(spec) == "cpu"
+    env_spec = os.environ.get("JAX_PLATFORMS", "")
+    return bool(env_spec) and _primary_platform(env_spec) == "cpu"
 
 
 def probe_backend(timeout_s: float | None = None, logger=None) -> str | None:
@@ -73,8 +76,10 @@ def probe_backend(timeout_s: float | None = None, logger=None) -> str | None:
         raise BackendUnavailable(
             f"device backend init did not finish within {timeout_s:.0f}s "
             "(dead device tunnel?); aborting instead of hanging. "
-            "Set JAX_PLATFORMS=cpu to run on the host CPU, or "
-            "RESDEPTH_SKIP_BACKEND_PROBE=1 to skip this check.")
+            "To run on the host CPU set JAX_PLATFORMS=cpu AND unset "
+            "PALLAS_AXON_POOL_IPS (the device plugin's sitecustomize "
+            "otherwise overrides the platform list at interpreter start); "
+            "or set RESDEPTH_SKIP_BACKEND_PROBE=1 to skip this check.")
     if proc.returncode != 0:
         raise BackendUnavailable(
             "device backend failed to initialize:\n"

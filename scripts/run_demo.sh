@@ -1,10 +1,24 @@
 #!/usr/bin/env bash
 # End-to-end demo: synthesize a scene, train briefly, run tiled inference +
 # evaluation against the generated ground truth + masks.
+#
+# Usage: run_demo.sh [demo_dir] [--cpu]
+#   --cpu  run on a hermetic 8-virtual-device host-CPU mesh (no TPU needed;
+#          also useful when the device tunnel is down)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-DEMO_DIR="${1:-demo}"
+DEMO_DIR="demo"
+for arg in "$@"; do
+  case "$arg" in
+    --cpu)
+      export JAX_PLATFORMS=cpu
+      export XLA_FLAGS="--xla_force_host_platform_device_count=8"
+      unset PALLAS_AXON_POOL_IPS || true
+      ;;
+    *) DEMO_DIR="$arg" ;;
+  esac
+done
 
 python scripts/make_demo_data.py "$DEMO_DIR"
 python train.py "$DEMO_DIR/config_train.json"

@@ -419,3 +419,28 @@ def test_compilation_cache_fingerprint_identity_sensitive():
            "CPU part\t: 0xd4f\nCPU revision\t: 1\n")
     assert _fingerprint_from_cpuinfo(arm) != _fingerprint_from_cpuinfo(
         arm.replace("0xd4f", "0xd40"))
+
+
+def test_compilation_cache_fingerprint_uses_raw_cpuid():
+    """Hypervisors can mask /proc/cpuinfo to IDENTICAL generic identities on
+    different physical machines (observed: same 'Intel Xeon @ 2.10GHz'
+    block, incompatible XLA:CPU AOT tuning features). The fingerprint must
+    also hash raw CPUID — what LLVM's host detection reads — and numpy's
+    runtime feature set, so such hosts cannot share a cache directory."""
+    import platform as _platform
+
+    from resdepth_tpu.utils import compilation_cache as cc
+
+    if _platform.machine() == "x86_64":
+        words = cc._cpuid_words()
+        assert len(words) >= 6 * 6  # several (leaf, sub, eax..edx) groups
+        assert words == cc._cpuid_words()  # deterministic
+        # leaf 0 EBX/EDX/ECX carry the vendor string — never all zero
+        assert any(words[3:6])
+    # differing raw-cpuid extras must split otherwise-identical cpuinfo
+    text = "processor\t: 0\nmodel name\t: Intel Xeon\nflags\t\t: fpu avx2\n"
+    a = cc._fingerprint_from_cpuinfo(text, ["cpuid:1"])
+    b = cc._fingerprint_from_cpuinfo(text, ["cpuid:2"])
+    assert a != b
+    # the full fingerprint is stable within one host/process
+    assert cc._host_fingerprint() == cc._host_fingerprint()

@@ -748,3 +748,37 @@ def test_backend_probe_cpu_fallback_list_is_not_pinned(monkeypatch):
     monkeypatch.setenv("JAX_PLATFORMS", "cpu,axon")
     assert backend_probe.probe_backend(timeout_s=1) is None
     assert not ran
+
+
+def test_backend_probe_in_process_config_beats_env(monkeypatch):
+    """Device-plugin sitecustomize hooks override jax_platforms to
+    'axon,cpu' at interpreter start regardless of JAX_PLATFORMS=cpu in the
+    env — the in-process config must win, so the probe RUNS (and can bound
+    the hang) even though the env claims a CPU pin."""
+    import types as _types
+
+    from resdepth_tpu.utils import backend_probe
+
+    monkeypatch.delenv("RESDEPTH_SKIP_BACKEND_PROBE", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+
+    fake_jax = _types.SimpleNamespace(
+        config=_types.SimpleNamespace(jax_platforms="axon,cpu"))
+    monkeypatch.setattr(
+        backend_probe.sys, "modules",
+        {**backend_probe.sys.modules, "jax": fake_jax})
+
+    ran = []
+
+    def fake_run(*args, **kwargs):
+        ran.append(True)
+
+        class P:
+            returncode = 0
+            stdout = "tpu\n"
+            stderr = ""
+        return P()
+
+    monkeypatch.setattr(backend_probe.subprocess, "run", fake_run)
+    assert backend_probe.probe_backend(timeout_s=1) == "tpu"
+    assert ran
