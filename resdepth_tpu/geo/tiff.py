@@ -342,7 +342,9 @@ def _read_ifd(f, offset: int, bo: str, big: bool = False):
         (n_entries,) = struct.unpack(bo + "Q", f.read(8))
     else:
         (n_entries,) = struct.unpack(bo + "H", f.read(2))
-    if offset + n_entries * entry_size > file_size:
+    count_bytes = 8 if big else 2
+    next_ptr_bytes = 8 if big else 4
+    if offset + count_bytes + n_entries * entry_size + next_ptr_bytes > file_size:
         raise ValueError(f"Corrupt TIFF: IFD with {n_entries} entries exceeds "
                          f"the file size ({file_size} bytes)")
     entries = f.read(n_entries * entry_size)

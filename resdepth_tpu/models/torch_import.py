@@ -272,6 +272,12 @@ def scheduler_state_from_torch(sched_sd: dict, lr: float | None = None) -> dict:
         out["n_steps"] = int(sched_sd["last_epoch"])
     if sched_sd.get("_last_lr"):
         out["lr"] = float(sched_sd["_last_lr"][0])
+    if sched_sd.get("base_lrs"):
+        # StepLR/ExponentialLR recompute lr from the BASE LR on every step;
+        # without it the restored lr would survive only until the first
+        # post-resume step, which would silently recompute from the new
+        # config's initial LR instead of the checkpoint's.
+        out["initial_lr"] = float(sched_sd["base_lrs"][0])
     for src, dst in (("step_size", "step_size"), ("gamma", "gamma"),
                      ("factor", "factor"), ("patience", "patience"),
                      ("threshold", "threshold"),

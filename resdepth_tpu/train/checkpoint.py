@@ -60,6 +60,17 @@ def save_checkpoint(path: str, *, epoch: int, params, bn_state, opt_state=None,
     _os.replace(tmp_path, path)
 
 
+def load_meta(path: str) -> dict:
+    """Read ONLY a checkpoint's metadata.
+
+    ``np.load`` on an .npz is lazy, so this touches just the ~100-byte
+    ``__meta__`` member — resume bookkeeping must not decompress a
+    multi-hundred-MB weights+moments archive to learn its epoch/loss.
+    """
+    with np.load(path) as blob:
+        return json.loads(bytes(blob[_META_KEY].tobytes()).decode())
+
+
 def load_checkpoint(path: str, *, params_template=None, bn_template=None,
                     opt_template=None):
     """Load a checkpoint; pytrees are restored into the given templates.

@@ -110,7 +110,7 @@ class Trainer:
         # best checkpoint's loss instead when it is better.
         if os.path.isfile(self.path_model_best):
             try:
-                best_meta, *_ = ckpt_io.load_checkpoint(self.path_model_best)
+                best_meta = ckpt_io.load_meta(self.path_model_best)
             except Exception as exc:
                 self.logger.warning(
                     f"Could not read {self.path_model_best} for best-loss "

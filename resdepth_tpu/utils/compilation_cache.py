@@ -51,10 +51,17 @@ def _cpuid_words() -> list[int]:
         words: list[int] = []
         for leaf, sub in ((0, 0), (1, 0), (6, 0), (7, 0), (7, 1), (0xD, 0),
                           (0xD, 1), (0x80000000, 0), (0x80000001, 0),
-                          (0x80000007, 0), (0x80000008, 0), (0x8000001E, 0)):
+                          (0x80000007, 0), (0x80000008, 0)):
             out = (ctypes.c_uint32 * 4)()
             fn(leaf, sub, ctypes.cast(out, ctypes.POINTER(ctypes.c_uint32)))
-            words.extend((leaf, sub, *out))
+            eax, ebx, ecx, edx = out
+            if leaf == 1:
+                # EBX[31:24] is the initial APIC ID of the CORE the stub
+                # happened to run on — hashing it would flap the fingerprint
+                # per scheduling decision on multi-core hosts. (Leaf
+                # 0x8000001E is omitted above for the same reason.)
+                ebx &= 0x00FFFFFF
+            words.extend((leaf, sub, eax, ebx, ecx, edx))
         del fn  # release the buffer export before closing the mapping
         return words
     except Exception:

@@ -226,10 +226,14 @@ def test_load_reference_checkpoint_restores_metadata(tmp_path):
     assert meta["lr"] == pytest.approx(2e-4 * 0.25)
 
     from resdepth_tpu.train.schedulers import StepLR
-    ours = StepLR(2e-4, step_size=2, gamma=0.5)
+    # deliberately a DIFFERENT config initial LR: the checkpoint's base_lrs
+    # must win, or the first post-resume step would silently recompute from
+    # the new config's LR
+    ours = StepLR(1e-4, step_size=2, gamma=0.5)
     ours.load_state_dict(meta["scheduler_state"])
     assert ours.lr == pytest.approx(2e-4 * 0.25)
     assert ours.n_steps == 5
+    assert ours.initial_lr == pytest.approx(2e-4)
     # the restored scheduler continues the torch trajectory
     scheduler.step()
     assert ours.step() == pytest.approx(scheduler.get_last_lr()[0])
