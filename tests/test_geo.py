@@ -400,6 +400,44 @@ def test_tiff_tiled_organization_read(tmp_path):
     np.testing.assert_array_equal(pil, img)  # the handmade file is valid
 
 
+def test_tiff_big_endian_read(tmp_path):
+    """Motorola-order ('MM') classic TIFFs decode correctly: header, tag
+    values and big-endian samples (PIL cross-validates the test file)."""
+    import struct as st
+
+    rows, cols = 6, 9
+    rng = np.random.default_rng(11)
+    img = rng.normal(100.0, 25.0, (rows, cols)).astype(np.float32)
+    payload = img.astype(">f4").tobytes()
+
+    tags = [(256, 4, cols), (257, 4, rows), (258, 3, 32), (259, 3, 1),
+            (262, 3, 1), (273, 4, "DATA"), (277, 3, 1), (278, 4, rows),
+            (279, 4, len(payload)), (339, 3, 3)]
+    n = len(tags)
+    ifd = 8
+    data_off = ifd + 2 + n * 12 + 4
+    blob = bytearray(st.pack(">2sHI", b"MM", 42, ifd))
+    blob += st.pack(">H", n)
+    for tag, ftype, value in tags:
+        if value == "DATA":
+            value = data_off
+        if ftype == 3:
+            blob += st.pack(">HHIHH", tag, ftype, 1, value, 0)
+        else:
+            blob += st.pack(">HHII", tag, ftype, 1, value)
+    blob += st.pack(">I", 0)
+    blob += payload
+    path = str(tmp_path / "bigendian.tif")
+    open(path, "wb").write(bytes(blob))
+
+    got, info = tiff.read(path)
+    np.testing.assert_array_equal(got, img)
+    assert got.dtype.byteorder in ("=", "<")  # native layout out
+
+    from PIL import Image
+    np.testing.assert_array_equal(np.asarray(Image.open(path)), img)
+
+
 def test_tiff_write_float_predictor_default(tmp_path):
     """Compressed float writes default to predictor 3: smaller files (GDAL's
     PREDICTOR=3 practice), bit-exact round-trip, PIL-readable."""
