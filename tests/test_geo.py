@@ -559,7 +559,9 @@ def test_tiff_float_predictor_read(tmp_path, spp, dt):
             a += 1
         return bytes(seq[:n])
 
-    for n in range(760, 775):   # 9->10-bit boundary under 1-code-per-byte input
+    # 9->10-bit boundary and the 12-bit table-full CLEAR region, both under
+    # 1-code-per-byte input
+    for n in list(range(760, 775)) + list(range(3834, 3846)):
         payload = distinct_pair_seq(n)
         assert tiff._lzw_decode_py(tiff._lzw_encode_py(payload)) == payload, n
         assert _native.lzw_decode(_native.lzw_encode(payload)) == payload, n
