@@ -326,6 +326,81 @@ def test_infer_multi_pair_aggregate(make_geotiff, tmp_path, monkeypatch):
     assert "Statistics over all predictions" in text and "MAE" in text
 
 
+def test_infer_multi_dataset_aggregate_isolation(make_geotiff, tmp_path,
+                                                 monkeypatch):
+    """TWO evaluated datasets, each with multiple pairs: every dataset's
+    cross-pair aggregate statistics land ONLY in its own report file (the
+    reference reuses one logger name and appends dataset 2's aggregates
+    into dataset 1's file — docs/PARITY.md)."""
+    import pickle
+
+    import jax
+
+    from resdepth_tpu.models.unet import UNetConfig, init_unet
+    from resdepth_tpu.train import checkpoint as ckpt_io
+
+    paths_a, *_ = _write_scene(make_geotiff, tmp_path)
+    rng = np.random.default_rng(9)
+    gt_b = rng.normal(300.0, 5.0, (80, 100)).astype(np.float32)
+    dsm_b = (gt_b + rng.normal(0, 1, (80, 100))).astype(np.float32)
+    paths_b = {"raster_in": make_geotiff("dsm_b.tif", dsm_b),
+               "raster_gt": make_geotiff("gt_b.tif", gt_b)}
+
+    settings = dict(n_input_channels=3, start_kernel=4, max_filter_depth=8,
+                    depth=2)
+    config = UNetConfig(**settings)
+    params, bn_state = init_unet(jax.random.PRNGKey(3), config)
+    weights_path = tmp_path / "Model_best.npz"
+    ckpt_io.save_checkpoint(str(weights_path), epoch=0, params=params,
+                            bn_state=bn_state)
+    arch_path = tmp_path / "model_config.json"
+    arch_path.write_text(json.dumps({
+        "name": "UNet", "input_channels": "geom-stereo",
+        "settings": settings}))
+    norm_geom = tmp_path / "norm_geom.p"
+    with open(norm_geom, "wb") as f:
+        pickle.dump({"mean": None, "std": 4.0}, f)
+    norm_image = tmp_path / "norm_image.p"
+    with open(norm_image, "wb") as f:
+        pickle.dump({"mean": 120.0, "std": 25.0}, f)
+
+    def dataset(name, paths):
+        return {"name": name, "raster_in": paths["raster_in"],
+                "raster_gt": paths["raster_gt"],
+                "path_image_list": paths_a["imagelist"],
+                "path_pairlist": paths_a["pairlist"],   # two pairs each
+                "allocation_strategy": "5-crossval_vertical",
+                "test_stripe": 1, "area_type": "test"}
+
+    eval_cfg = {
+        "datasets": [dataset("region_a", paths_a), dataset("region_b", paths_b)],
+        "model": {"weights": str(weights_path), "architecture": str(arch_path),
+                  "normalization_geom": str(norm_geom),
+                  "normalization_image": str(norm_image)},
+        "general": {"tile_size": 16, "batch_size": 4},
+        "output": {"directory": str(tmp_path / "eval_md")},
+    }
+    cfg_path = tmp_path / "eval_md.json"
+    cfg_path.write_text(json.dumps(eval_cfg))
+
+    import test as test_cli
+    _run_cli(test_cli.main, str(cfg_path), monkeypatch)
+
+    reports = {}
+    for name in ("region_a", "region_b"):
+        agg = list((tmp_path / "eval_md" / name).glob(
+            "*mean_over_all_stereopairs.txt"))
+        assert agg, name
+        reports[name] = agg[0].read_text()
+    for name, text in reports.items():
+        # exactly ONE aggregate block per file — a cross-contaminated file
+        # carries the other dataset's block appended after its own
+        assert text.count("Statistics over all predictions") == 1, name
+        assert text.count("STATISTICS, OVERALL: REFINED DSM") == 1, name
+    # the two scenes differ, so identical stats would mean cross-talk
+    assert reports["region_a"] != reports["region_b"]
+
+
 def test_train_multi_region(make_geotiff, tmp_path, monkeypatch):
     """Two training regions (ConcatDataset-equivalent): per-region loaders,
     interleaved epochs, per-raster-shape jit reuse."""
