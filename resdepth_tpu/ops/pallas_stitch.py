@@ -36,6 +36,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 _SUBLANE = 8
 _LANE = 128
+# Scene padding must fit the ALIGNED superset window of a tile placed at the
+# scene's bottom-right corner. The window extents are the tile plus the
+# intra-window offset (< 8 / < 128), rounded UP to (sublane, lane) multiples
+# (_win_extents) — Mosaic rejects unaligned DMA extents ("unsupported
+# unaligned shape", observed on-chip for tile < 128 where tile + 128 is not
+# a lane multiple). win_x - tile is at most 240 (tile 16), so one constant
+# covers every valid tile size (powers of two >= 16).
+_PAD_Y = _SUBLANE
+_PAD_X = 2 * _LANE
+
+
+def _win_extents(tile: int) -> tuple[int, int]:
+    """Aligned (rows, cols) extents of the DMA window holding a (tile, tile)
+    block at any intra-window offset (dy < 8, dx < 128)."""
+    win_y = -(-(tile + _SUBLANE) // _SUBLANE) * _SUBLANE
+    win_x = -(-(tile + _LANE) // _LANE) * _LANE
+    return win_y, win_x
 
 
 def _stitch_kernel(pos_ref, scene_ref, tiles_ref, wy_ref, wx_ref, mean_ref,
@@ -44,6 +61,7 @@ def _stitch_kernel(pos_ref, scene_ref, tiles_ref, wy_ref, wx_ref, mean_ref,
     y = pos_ref[i, 0]
     x = pos_ref[i, 1]
     tile = tiles_ref.shape[1]
+    win_y, win_x = scratch.shape
 
     # HBM slices must start on (sublane, lane) = (8, 128) boundaries; tile
     # positions are arbitrary (edge-shifted tiles). Load the aligned superset
@@ -58,14 +76,15 @@ def _stitch_kernel(pos_ref, scene_ref, tiles_ref, wy_ref, wx_ref, mean_ref,
     # On the first program, the aliased output already holds the input scene
     # (input_output_aliases) — nothing to initialise.
     load = pltpu.make_async_copy(
-        out_ref.at[pl.ds(y0, tile + _SUBLANE), pl.ds(x0, tile + _LANE)],
+        out_ref.at[pl.ds(y0, win_y), pl.ds(x0, win_x)],
         scratch, sem_in)
     load.start()
 
     weighted = (tiles_ref[0] * sigma_ref[0] + mean_ref[i]) * (
         wy_ref[i][:, None] * wx_ref[i][None, :])
-    padded = jnp.pad(weighted, ((0, _SUBLANE), (0, _LANE)))
-    # dy < 8 and dx < 128: rolling never wraps tile data around the window.
+    padded = jnp.pad(weighted, ((0, win_y - tile), (0, win_x - tile)))
+    # dy < 8 <= win_y - tile and dx < 128 <= win_x - tile: rolling never
+    # wraps tile data around the window.
     padded = pltpu.roll(padded, dy, 0)
     padded = pltpu.roll(padded, dx, 1)
 
@@ -74,7 +93,7 @@ def _stitch_kernel(pos_ref, scene_ref, tiles_ref, wy_ref, wx_ref, mean_ref,
 
     store = pltpu.make_async_copy(
         scratch,
-        out_ref.at[pl.ds(y0, tile + _SUBLANE), pl.ds(x0, tile + _LANE)],
+        out_ref.at[pl.ds(y0, win_y), pl.ds(x0, win_x)],
         sem_out)
     store.start()
     store.wait()
@@ -84,11 +103,11 @@ def _stitch_kernel(pos_ref, scene_ref, tiles_ref, wy_ref, wx_ref, mean_ref,
 
 def pad_scene(scene):
     """Pad a scene so every aligned superset window fits (bottom/right only)."""
-    return jnp.pad(scene, ((0, _SUBLANE), (0, _LANE)))
+    return jnp.pad(scene, ((0, _PAD_Y), (0, _PAD_X)))
 
 
 def crop_scene(scene_padded):
-    return scene_padded[:-_SUBLANE, :-_LANE]
+    return scene_padded[:-_PAD_Y, :-_PAD_X]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
@@ -96,7 +115,7 @@ def stitch_tiles_pallas(scene_padded, tiles, positions, wy, wx, means, sigma,
                         interpret: bool = False):
     """scene[y_i:y_i+T, x_i:x_i+T] += (tiles_i * sigma + means_i) * wy_i ⊗ wx_i.
 
-    ``scene_padded``: (rows + 8, cols + 128) f32 (see ``pad_scene``; donated);
+    ``scene_padded``: (rows + 8, cols + 256) f32 (see ``pad_scene``; donated);
     tiles: (B, T, T); positions: (B, 2) int32 in UNPADDED coordinates;
     wy/wx: (B, T); means: (B,); sigma: scalar.
     """
@@ -119,7 +138,7 @@ def stitch_tiles_pallas(scene_padded, tiles, positions, wy, wx, means, sigma,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((tile + _SUBLANE, tile + _LANE), jnp.float32),
+            pltpu.VMEM(_win_extents(tile), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -148,6 +167,7 @@ def _stitch_kernel_fused(pos_ref, scene_ref, tiles_ref, wy_ref, wx_ref,
     """
     n_tiles = wy_ref.shape[0]
     tile = tile_buf.shape[1]
+    win_y, win_x = window_buf.shape
 
     def tile_dma(slot, i):
         return pltpu.make_async_copy(tiles_ref.at[i], tile_buf.at[slot],
@@ -167,14 +187,14 @@ def _stitch_kernel_fused(pos_ref, scene_ref, tiles_ref, wy_ref, wx_ref,
         y0 = pl.multiple_of((y // _SUBLANE) * _SUBLANE, _SUBLANE)
         x0 = pl.multiple_of((x // _LANE) * _LANE, _LANE)
 
-        window = out_ref.at[pl.ds(y0, tile + _SUBLANE), pl.ds(x0, tile + _LANE)]
+        window = out_ref.at[pl.ds(y0, win_y), pl.ds(x0, win_x)]
         read = pltpu.make_async_copy(window, window_buf, sem_window)
         read.start()
 
         tile_dma(slot, i).wait()
         weighted = (tile_buf[slot] * sigma_ref[0] + mean_ref[i]) * (
             wy_ref[i][:, None] * wx_ref[i][None, :])
-        padded = jnp.pad(weighted, ((0, _SUBLANE), (0, _LANE)))
+        padded = jnp.pad(weighted, ((0, win_y - tile), (0, win_x - tile)))
         padded = pltpu.roll(padded, y - y0, 0)
         padded = pltpu.roll(padded, x - x0, 1)
 
@@ -194,9 +214,20 @@ def stitch_tiles_pallas_fused(scene_padded, tiles, positions, wy, wx, means,
                               sigma, interpret: bool = False):
     """Fused single-program stitch (see ``_stitch_kernel_fused``).
 
-    Same contract as ``stitch_tiles_pallas``.
+    Same contract as ``stitch_tiles_pallas``. On real hardware, tiles
+    narrower than one lane row (tile < 128) delegate to the per-tile-program
+    kernel: the fused variant's manual (tile, tile) HBM tile DMA would be
+    lane-unaligned (Mosaic rejects the extent on-chip), whereas the per-tile
+    variant's BlockSpec-pipelined tiles are not subject to that rule — and
+    sub-128 tiles are never a throughput case (the fused variant exists to
+    amortise per-program setup over LARGE tile streams). Outputs are
+    bit-identical either way (chip-measured). Interpret mode keeps the fused
+    body at every tile size so tests exercise its logic.
     """
     b, tile, _ = tiles.shape
+    if tile < _LANE and not interpret:
+        return stitch_tiles_pallas(scene_padded, tiles, positions, wy, wx,
+                                   means, sigma, interpret=interpret)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
@@ -211,7 +242,7 @@ def stitch_tiles_pallas_fused(scene_padded, tiles, positions, wy, wx, means,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, tile, tile), jnp.float32),
-            pltpu.VMEM((tile + _SUBLANE, tile + _LANE), jnp.float32),
+            pltpu.VMEM(_win_extents(tile), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],

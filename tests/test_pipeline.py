@@ -380,6 +380,68 @@ def test_pallas_fused_stitch_matches_xla_interpret():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_stitch_window_alignment_covers_all_tile_sizes():
+    """Mosaic rejects lane-unaligned DMA extents on real TPUs: the stitch
+    kernels' window extents must be (sublane, lane) = (8, 128) multiples for
+    EVERY valid tile size (powers of two >= 16, config/checks.py), and the
+    constant scene padding must fit the worst-case window — a lane-aligned
+    tile position at the scene's bottom-right edge. Regression for a
+    chip-only compile failure ("unsupported unaligned shape") at
+    tile < 128, where the old extent tile + 128 is not a lane multiple."""
+    from resdepth_tpu.ops.pallas_stitch import (_LANE, _PAD_X, _PAD_Y,
+                                                _SUBLANE, _win_extents)
+
+    for tile in (16, 32, 64, 128, 256, 512, 1024):
+        win_y, win_x = _win_extents(tile)
+        assert win_y % _SUBLANE == 0 and win_x % _LANE == 0
+        # must hold a tile at any intra-window offset (dy < 8, dx < 128)
+        assert win_y >= tile + _SUBLANE - 1
+        assert win_x >= tile + _LANE - 1
+        # pad sufficiency: y0 <= y <= rows - tile  ->  y0 + win_y <= rows + pad
+        assert win_y - tile <= _PAD_Y
+        assert win_x - tile <= _PAD_X
+
+
+@pytest.mark.parametrize("fused", [False, True])
+def test_stitch_small_tile_edge_windows_interpret(fused):
+    """Sub-lane tiles (t = 64 < 128) at adversarial positions — lane-aligned
+    AND edge-shifted tiles at the scene's bottom-right corner, where the
+    aligned superset window extends furthest past the scene — match the XLA
+    scatter-add (interpreter mode; the same case is chip-verified)."""
+    from resdepth_tpu.ops.pallas_stitch import (crop_scene, pad_scene,
+                                                stitch_tiles,
+                                                stitch_tiles_pallas_fused,
+                                                stitch_tiles_xla)
+
+    rng = np.random.default_rng(7)
+    rows, cols, t, b = 320, 320, 64, 6
+    scene = rng.normal(400.0, 5.0, (rows, cols)).astype(np.float32)
+    positions = np.stack([rng.integers(0, rows - t, b),
+                          rng.integers(0, cols - t, b)], 1).astype(np.int32)
+    positions[0] = [rows - t, ((cols - t) // 128) * 128]  # aligned, at edge
+    positions[1] = [rows - t, cols - t]                   # edge-shifted
+    tiles = rng.normal(size=(b, t, t)).astype(np.float32)
+    wy = rng.random((b, t)).astype(np.float32)
+    wx = rng.random((b, t)).astype(np.float32)
+    means = rng.normal(400.0, 1.0, b).astype(np.float32)
+
+    ref = stitch_tiles_xla(jnp.asarray(scene), jnp.asarray(tiles),
+                           jnp.asarray(positions), jnp.asarray(wy),
+                           jnp.asarray(wx), jnp.asarray(means), 5.0)
+    if fused:
+        out = crop_scene(stitch_tiles_pallas_fused(
+            pad_scene(jnp.asarray(scene)), jnp.asarray(tiles),
+            jnp.asarray(positions), jnp.asarray(wy), jnp.asarray(wx),
+            jnp.asarray(means), 5.0, interpret=True))
+    else:
+        out = stitch_tiles(jnp.asarray(scene), jnp.asarray(tiles),
+                           jnp.asarray(positions), jnp.asarray(wy),
+                           jnp.asarray(wx), jnp.asarray(means), 5.0,
+                           use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-4)
+
+
 def test_augmentation_uniform_over_dihedral_group():
     """The augment distribution equals the reference's: uniform over the
     square's 8 symmetries (rot90^k x flips composition)."""
