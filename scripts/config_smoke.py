@@ -1,15 +1,19 @@
 """Combinatorial CLI smoke: random valid train+eval configs on tiny scenes.
 
-Usage: python scripts/config_smoke.py [seed] [n_cases]
+Usage: python scripts/config_smoke.py [seed] [n_cases] [--tpu]
 
 Samples configurations across the supported option space (channel modes x
 allocations x crossval x schedulers x optimizers x precisions x
 steps_per_call x augment/permute x serving dtypes) and drives each through
-the REAL train.py / test.py CLIs on the hermetic 8-virtual-device CPU mesh.
-A maintenance sweep, not a pytest (minutes per case on small hosts); exits
-non-zero on any unexpected CLI failure. 16/16 sampled cases validated at
-introduction (one was a correct clean validator rejection before the
-harness respected the tile/depth constraint).
+the REAL train.py / test.py CLIs on the hermetic 8-virtual-device CPU mesh
+— or, with ``--tpu``, on the inherited backend (the real chip): shape/
+alignment constraints only the hardware compiler enforces (e.g. the Mosaic
+lane-alignment rejection of sub-128 stitch tiles, fixed after a chip sweep
+caught it) never surface on the CPU mesh. A maintenance sweep, not a pytest
+(minutes per case on small hosts); exits non-zero on any unexpected CLI
+failure. 16/16 sampled cases validated at introduction (one was a correct
+clean validator rejection before the harness respected the tile/depth
+constraint).
 """
 import json
 import os
@@ -26,11 +30,18 @@ from resdepth_tpu.geo import tiff
 ROOT = os.environ.get("SMOKE_DIR", "/tmp/config_smoke")
 shutil.rmtree(ROOT, ignore_errors=True)
 os.makedirs(ROOT)
-ENV = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu",
-           XLA_FLAGS="--xla_force_host_platform_device_count=8")
-ENV.pop("PALLAS_AXON_POOL_IPS", None)
+ON_TPU = "--tpu" in sys.argv
+ARGS = [a for a in sys.argv[1:] if a != "--tpu"]
+if ON_TPU:
+    ENV = dict(os.environ)  # inherited backend: the tunneled chip
+    CASE_TIMEOUT = 1200     # relay compiles add minutes per program
+else:
+    ENV = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    ENV.pop("PALLAS_AXON_POOL_IPS", None)
+    CASE_TIMEOUT = 600
 
-rng = np.random.default_rng(int(sys.argv[1]) if len(sys.argv) > 1 else 0)
+rng = np.random.default_rng(int(ARGS[0]) if len(ARGS) > 0 else 0)
 
 
 def scene(dirname, rows=80, cols=100, n_images=4):
@@ -126,7 +137,7 @@ def sample_config(i):
     return d, cfg, channels, crossval, pl, il
 
 
-n_cases = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+n_cases = int(ARGS[1]) if len(ARGS) > 1 else 8
 fails = 0
 for i in range(n_cases):
     d, cfg, channels, crossval, pl, il = sample_config(i)
@@ -134,7 +145,7 @@ for i in range(n_cases):
     json.dump(cfg, open(cfg_path, "w"))
     r = subprocess.run([sys.executable, "train.py", cfg_path], env=ENV,
                        cwd=REPO, capture_output=True, text=True,
-                       timeout=600)
+                       timeout=CASE_TIMEOUT)
     tag = (f"case{i} ch={channels} alloc={cfg['datasets'][0]['allocation_strategy'][-8:]} "
            f"cv={crossval} sched={cfg['scheduler'].get('name', 'off')} "
            f"opt={cfg['optimizer']['name']} K={cfg['tpu']['steps_per_call']} "
@@ -182,7 +193,7 @@ for i in range(n_cases):
     json.dump(eval_cfg, open(ev_path, "w"))
     r = subprocess.run([sys.executable, "test.py", ev_path], env=ENV,
                        cwd=REPO, capture_output=True, text=True,
-                       timeout=600)
+                       timeout=CASE_TIMEOUT)
     if r.returncode != 0:
         fails += 1
         print("EVAL FAIL", tag, "dtype:", eval_cfg["general"]["compute_dtype"])
