@@ -3,8 +3,9 @@
 Usage: python scripts/config_smoke.py [seed] [n_cases] [--tpu]
 
 Samples configurations across the supported option space (channel modes x
-allocations x crossval x schedulers x optimizers x precisions x
-steps_per_call x augment/permute x serving dtypes) and drives each through
+allocations x crossval x schedulers x optimizers x train precisions x
+steps_per_call x augment/permute x serving dtypes x tile sizes 16/32 x
+eval tile strides) and drives each through
 the REAL train.py / test.py CLIs on the hermetic 8-virtual-device CPU mesh
 — or, with ``--tpu``, on the inherited backend (the real chip): shape/
 alignment constraints only the hardware compiler enforces (e.g. the Mosaic
@@ -73,13 +74,20 @@ def sample_config(i):
                            "geom-multiview", "stereo"])
     alloc = rng.choice(["5-crossval_vertical", "5-crossval_horizontal"])
     crossval = bool(rng.integers(0, 2))
-    # tile 16 (5-stripe splits of the 80x100 scene give 16/20-px stripes,
+    # tile 16 on the 80x100 scene (5-stripe splits give 16/20-px stripes,
     # the smallest of which exactly admits a 16-px clamped tile) forces
-    # depth 2 (tile >= 2^(depth+2))
-    depth, tile = 2, 16
+    # depth 2; tile 32 doubles the scene so the narrowest stripe (32 px)
+    # admits the tile, and allows depth 3 (tile >= 2^(depth+2)). Both tile
+    # sizes are sub-lane (< 128) on the chip — the Mosaic alignment space
+    # where the round-2 stitch bug lived.
+    if rng.integers(0, 2):
+        depth, tile = 2, 16
+        d, paths, il = scene(f"case{i}")
+    else:
+        depth, tile = 3, 32
+        d, paths, il = scene(f"case{i}", rows=160, cols=200)
     sched = rng.choice(["none", "StepLR", "ExponentialLR", "ReduceLROnPlateau"])
     opt = rng.choice(["Adam", "SGD"])
-    d, paths, il = scene(f"case{i}")
 
     if channels == "geom-mono":
         pair_lines = ["ortho_0", "ortho_2"]
@@ -118,7 +126,8 @@ def sample_config(i):
         "general": {"save_model_rate": 2, "evaluate_rate": 1, "random_seed": i,
                     "auto_resume": False},
         "tpu": {"steps_per_call": int(rng.choice([1, 4])),
-                "train_precision": str(rng.choice(["high", "default"]))},
+                "train_precision": str(rng.choice(
+                    ["high", "default", "balanced", "balanced16"]))},
         "output": {"output_directory": os.path.join(d, "runs")},
     }
     if channels == "geom-multiview":
@@ -149,7 +158,8 @@ for i in range(n_cases):
     tag = (f"case{i} ch={channels} alloc={cfg['datasets'][0]['allocation_strategy'][-8:]} "
            f"cv={crossval} sched={cfg['scheduler'].get('name', 'off')} "
            f"opt={cfg['optimizer']['name']} K={cfg['tpu']['steps_per_call']} "
-           f"prec={cfg['tpu']['train_precision']} depth={cfg['model']['depth']}")
+           f"prec={cfg['tpu']['train_precision']} depth={cfg['model']['depth']} "
+           f"tile={cfg['training_settings']['tile_size']}")
     if r.returncode != 0:
         fails += 1
         print("TRAIN FAIL", tag)
@@ -186,6 +196,13 @@ for i in range(n_cases):
                          "balanced16"]))},
         "output": {"directory": os.path.join(d, "eval")},
     }
+    # Opt-in stride knob half the time (validator domain [tile/2, tile]):
+    # non-default strides reshape the blend ramps and the Pallas stitch
+    # alignment windows — chip-only constraint space.
+    tile = cfg["training_settings"]["tile_size"]
+    if rng.integers(0, 2):
+        eval_cfg["general"]["tile_stride"] = int(rng.choice(
+            [3 * tile // 4, tile]))
     if channels != "geom":
         eval_cfg["model"]["normalization_image"] = os.path.join(
             run_dir, "Image_normalization_parameters.p")
@@ -196,10 +213,12 @@ for i in range(n_cases):
                        timeout=CASE_TIMEOUT)
     if r.returncode != 0:
         fails += 1
-        print("EVAL FAIL", tag, "dtype:", eval_cfg["general"]["compute_dtype"])
+        print("EVAL FAIL", tag, "dtype:", eval_cfg["general"]["compute_dtype"],
+              "stride:", eval_cfg["general"].get("tile_stride", "default"))
         print((r.stdout + r.stderr)[-1200:])
         continue
-    print("ok", tag, "dtype:", eval_cfg["general"]["compute_dtype"])
+    print("ok", tag, "dtype:", eval_cfg["general"]["compute_dtype"],
+          "stride:", eval_cfg["general"].get("tile_stride", "default"))
 
 print(f"combo smoke: {n_cases - fails}/{n_cases} passed")
 sys.exit(1 if fails else 0)
