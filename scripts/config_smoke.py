@@ -12,9 +12,12 @@ alignment constraints only the hardware compiler enforces (e.g. the Mosaic
 lane-alignment rejection of sub-128 stitch tiles, fixed after a chip sweep
 caught it) never surface on the CPU mesh. A maintenance sweep, not a pytest
 (minutes per case on small hosts); exits non-zero on any unexpected CLI
-failure. 16/16 sampled cases validated at introduction (one was a correct
-clean validator rejection before the harness respected the tile/depth
-constraint).
+failure. Validation history: 16/16 sampled cases at introduction (one was
+a correct clean validator rejection before the harness respected the
+tile/depth constraint); 6/6 cases on the real chip (--tpu) BEFORE the
+round-2 widening of the sampled space (tile 32 / depth 3,
+balanced/balanced16 train precisions, eval tile_stride). The widened
+axes were swept in round 3 — see the validation log below.
 """
 import json
 import os
