@@ -603,6 +603,59 @@ def param_count(params) -> int:
     return int(sum(np.prod(leaf.shape) for leaf in jax.tree_util.tree_leaves(params)))
 
 
+def analytic_flops(config: UNetConfig, tile_size: int, *,
+                   composed_top: bool = False) -> int:
+    """Analytic conv/matmul FLOPs of one forward pass on a ``tile_size`` tile.
+
+    Counts multiply-adds as 2 FLOPs over every conv (the MFU convention:
+    elementwise BN/activation/pool traffic is bandwidth, not FLOPs, and is
+    excluded). Mirrors the graph `apply_unet` executes for the topology of
+    lib/UNet.py:196-246: per-level single conv3x3 encoder, conv3x3
+    bottleneck, `depth` transposed-conv upsamplings (k=2 s=2: exactly one
+    input tap per output pixel), conv3x3 after each non-top additive skip,
+    final conv3x3 to one channel. With ``composed_top`` (the serving graph
+    after `fold_top_decoder`) the full-resolution top upconv disappears and
+    the final conv splits into the skip conv at full res plus the composed
+    3x3x4-phase conv at half res.
+
+    Train-step FLOPs/sample are conventionally 3x this (backward ~= 2x
+    forward for conv stacks).
+    """
+    widths = config.filter_depths
+    t = tile_size
+    flops = 0
+    # encoder: conv3x3 at the level's input resolution, pool after
+    in_ch = config.n_input_channels
+    for i, w in enumerate(widths):
+        r = t >> i
+        flops += 2 * 9 * r * r * in_ch * w
+        in_ch = w
+    # bottleneck at t / 2^depth
+    r = t >> config.depth
+    flops += 2 * 9 * r * r * widths[-1] * widths[-1]
+    # decoder: upconv (1 tap/output px) + conv3x3, deepest-to-top
+    widths_up = tuple(reversed(widths))
+    for i in range(config.depth):
+        r_out = t >> (config.depth - 1 - i)  # upconv output resolution
+        top = i == config.depth - 1
+        if top and composed_top:
+            break  # the composed top has no materialised upconv
+        if config.up_mode == "transpose":
+            flops += 2 * r_out * r_out * widths_up[i] * widths_up[i]
+        else:  # bilinear: upsample (no MACs) + conv1x1
+            flops += 2 * r_out * r_out * widths_up[i] * widths_up[i]
+        if not top and i < config.depth - 1:
+            flops += 2 * 9 * r_out * r_out * widths_up[i] * widths_up[i + 1]
+    if composed_top:
+        # last(skip) at full res -> 1 channel, plus CK on half-res d1 -> 4
+        # phase channels (fold_top_decoder); the bias map is O(t^2) constant.
+        flops += 2 * 9 * t * t * config.start_kernel * 1
+        flops += 2 * 9 * (t // 2) * (t // 2) * config.start_kernel * 4
+    else:
+        flops += 2 * 9 * t * t * config.start_kernel * 1
+    return flops
+
+
 def fold_batchnorm(config: UNetConfig, params, state):
     """Fold eval-mode BatchNorm into conv weights for inference.
 

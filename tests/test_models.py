@@ -475,3 +475,51 @@ def test_fold_top_decoder_mixed_fidelity():
     dev_ref = float(jnp.abs(mixed_ref - exact).max())
     dev_fold = float(jnp.abs(mixed_fold - exact).max())
     assert dev_fold <= dev_ref * 1.5 + 1e-4, (dev_fold, dev_ref)
+
+
+def test_analytic_flops_flagship():
+    """Pin the analytic FLOPs model (bench.py MFU denominators).
+
+    The flagship (depth-5, start 64, cap 512, 3-channel) forward at 256 px
+    is ~19.8 GF (hand-derived layer by layer; also the number VERDICT r2
+    used for the MFU estimate); the composed-top serving graph drops the
+    full-resolution upconv (0.537 GF) and adds the half-res 4-phase conv
+    (+0.076 GF vs the plain last conv).
+    """
+    config = junet.flagship_config("geom-stereo")
+    fwd = junet.analytic_flops(config, 256)
+    folded = junet.analytic_flops(config, 256, composed_top=True)
+    assert fwd == 19_797_114_880
+    assert folded == 19_335_741_440
+    # conv FLOPs scale ~4x with tile area (boundary-free: exact here)
+    assert junet.analytic_flops(config, 512) == 4 * fwd
+
+
+def test_analytic_flops_counts_real_graph():
+    """Cross-check the analytic count against the conv shapes the params
+    actually carry: every conv kernel's MACs at its true feature-map
+    resolution must reproduce the analytic total (catches topology drift
+    between init_unet/apply_unet and the formula)."""
+    config = junet.UNetConfig(n_input_channels=3, start_kernel=8,
+                              max_filter_depth=32, depth=3)
+    params, _ = junet.init_unet(jax.random.PRNGKey(0), config)
+    tile = 32
+    total = 0
+    res = tile
+    for block in params["encoder"]:
+        kh, kw, cin, cout = block["conv"]["kernel"].shape
+        total += 2 * kh * kw * res * res * cin * cout
+        res //= 2
+    kh, kw, cin, cout = params["bottleneck"]["conv"]["kernel"].shape
+    total += 2 * kh * kw * res * res * cin * cout
+    for block in params["decoder"]:
+        res *= 2
+        kh, kw, cin, cout = block["up"]["kernel"].shape
+        # transposed conv k=2 s=2: one tap per output pixel
+        total += 2 * res * res * cin * cout
+        if "conv" in block:
+            kh, kw, cin, cout = block["conv"]["kernel"].shape
+            total += 2 * kh * kw * res * res * cin * cout
+    kh, kw, cin, cout = params["last"]["kernel"].shape
+    total += 2 * kh * kw * tile * tile * cin * cout
+    assert junet.analytic_flops(config, tile) == total
