@@ -170,3 +170,101 @@ def test_flagship_state_dict_layout_matches_reference():
     sd_ref = {k: tuple(v.shape) for k, v in model.state_dict().items()}
 
     assert {k: tuple(np.shape(v)) for k, v in sd_ours.items()} == sd_ref
+
+
+def test_export_script_pth_loads_into_real_reference(tmp_path):
+    """Close the .npz -> .pth round trip through the REAL reference loader.
+
+    Trains a few optimizer steps (so weights, Adam state and BN running
+    statistics are all non-trivial), saves our native .npz checkpoint, runs
+    the ACTUAL scripts/export_torch.py CLI on it, then loads the produced
+    .pth exactly as the reference inference entry point does
+    (/root/reference/test.py:87-96: ``UNet(**settings);
+    load_state_dict(torch.load(w)['model_state_dict'])``, strict) and
+    asserts eval-mode output parity with our trained model.
+    """
+    import json
+    import subprocess
+    import sys
+
+    import jax
+    import torch
+
+    from resdepth_tpu.data.pipeline import BatchSpec, DeviceRasters
+    from resdepth_tpu.train import checkpoint as ckpt_io
+    from resdepth_tpu.train.optim import build_optimizer
+    from resdepth_tpu.train.step import init_train_state, make_train_step
+
+    config = _small_config()
+    params, state = junet.init_unet(jax.random.PRNGKey(3), config)
+
+    # brief training: 4 fused steps on a random scene
+    rng = np.random.default_rng(11)
+    rows = cols = 48
+    gt = rng.normal(400.0, 5.0, (rows, cols)).astype(np.float32)
+    rasters = DeviceRasters(
+        dsm_input=jnp.asarray(gt + rng.normal(0, 1, (rows, cols)).astype(np.float32)),
+        dsm_target=jnp.asarray(gt),
+        orthos=jnp.asarray(rng.normal(120, 25, (3, rows, cols)).astype(np.float32)),
+        pairs=jnp.asarray([[0, 1], [1, 2]], jnp.int32),
+        nodata=jnp.asarray(-9999.0, jnp.float32))
+    spec = BatchSpec(input_channels="geom-stereo", tile_size=16, dsm_std=5.0,
+                     augment=False)
+    tx = build_optimizer("Adam", 1e-5)
+    train_state = init_train_state(params, state, tx, 2e-4)
+    step = make_train_step(config, spec, tx, mesh=None, donate=False)
+    key = jax.random.PRNGKey(0)
+    for k in range(4):
+        pos = jnp.asarray(rng.integers(0, rows - 16, (4, 2)), jnp.int32)
+        pidx = jnp.asarray(rng.integers(0, 2, (4,)), jnp.int32)
+        train_state, _ = step(train_state, rasters, pos, pidx,
+                              jnp.zeros((4, 4), jnp.int32),
+                              jnp.ones((4,), jnp.float32), key)
+    params = jax.device_get(train_state.params)
+    state = jax.device_get(train_state.bn_state)
+
+    npz = str(tmp_path / "Model_best.npz")
+    ckpt_io.save_checkpoint(npz, epoch=4, params=params, bn_state=state,
+                            loss_train=0.5, loss_val=0.4)
+    arch = tmp_path / "model_config.json"
+    arch.write_text(json.dumps({
+        "name": "UNet", "input_channels": "geom-stereo",
+        "settings": {
+            "n_input_channels": config.n_input_channels,
+            "start_kernel": config.start_kernel,
+            "max_filter_depth": config.max_filter_depth,
+            "depth": config.depth, "act_fn_encoder": config.act_fn_encoder,
+            "act_fn_decoder": config.act_fn_decoder,
+            "act_fn_bottleneck": config.act_fn_bottleneck,
+            "up_mode": config.up_mode, "do_BN": config.do_BN,
+            "bias_conv_layer": config.bias_conv_layer,
+            "outer_skip": config.outer_skip,
+            "outer_skip_BN": config.outer_skip_BN,
+        }}))
+    pth = str(tmp_path / "Model_best.pth")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "export_torch.py"),
+         npz, str(arch), pth],
+        capture_output=True, text=True, cwd=repo,
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": ""})
+    assert proc.returncode == 0, proc.stderr
+    assert os.path.exists(pth)
+
+    blob = torch.load(pth, weights_only=False)
+    assert blob["epoch"] == 4
+    UNet = _load_reference_unet()
+    model = UNet(**_reference_kwargs(config))
+    model.load_state_dict(blob["model_state_dict"], strict=True)
+    model.eval()
+
+    x = np.random.default_rng(8).normal(
+        size=(2, config.n_input_channels, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(x)).numpy()
+    ours, _ = junet.apply_unet(config, params, state,
+                               jnp.asarray(x.transpose(0, 2, 3, 1)),
+                               train=False)
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2), ref,
+                               rtol=1e-4, atol=1e-4)
