@@ -102,6 +102,10 @@ def default_cfg() -> AttrDict:
         data_parallel=True,
         mesh_axis="data",
         dcn_slices=1,  # >1: 2-D (dcn, ici) mesh — multi-slice data parallelism
+        distributed=False,  # true: jax.distributed.initialize() via cluster
+                            # auto-detection (multi-host launches); explicit
+                            # RESDEPTH_DIST_* env vars work on any backend
+                            # (parallel/bootstrap.py)
         use_pallas=True,
         steps_per_call=8,  # optimizer steps fused into one jitted dispatch
                            # (lax.scan). Semantically identical to 1

@@ -65,6 +65,8 @@ TPU_KEYS = [
     "data_parallel",        # bool — shard batches over the device mesh
     "mesh_axis",            # name of the data-parallel mesh axis
     "dcn_slices",           # >1: outer DCN axis of a 2-D device mesh
+    "distributed",          # bool — multi-host process bootstrap
+                            # (jax.distributed cluster auto-detection)
     "use_pallas",           # bool — enable fused Pallas kernels where available
     "steps_per_call",       # optimizer steps per jitted dispatch (lax.scan)
     "profile_dir",          # jax.profiler trace output directory ('' = off)

@@ -80,7 +80,15 @@ class Trainer:
 
         self.logger = logger or setup_logger("train_logger", log_to_console=True,
                                              log_file=log_file)
-        self.writer = MetricsWriter(tboard_log_dir, metrics_jsonl)
+        # Under a multi-process launch (parallel/bootstrap.py) only the
+        # chief writes checkpoints and metrics — every process still runs
+        # the full train/val loops (the collectives inside the jitted steps
+        # need all participants) and the replicated state is identical, so
+        # non-chief writes would be redundant races on shared storage.
+        from resdepth_tpu.parallel.bootstrap import is_chief
+        self.is_chief = is_chief()
+        self.writer = (MetricsWriter(tboard_log_dir, metrics_jsonl)
+                       if self.is_chief else MetricsWriter(None, None))
         self._checkpointer = ckpt_io.AsyncCheckpointer()
         self.hparams = hparams or {}
 
@@ -239,6 +247,8 @@ class Trainer:
         return loss
 
     def _save(self, path: str, epoch: int) -> None:
+        if not self.is_chief:
+            return
         # Async: device-side snapshot now, fetch + write in a worker thread
         # (the device->host transfer otherwise stalls the step pipeline).
         self._checkpointer.save(

@@ -71,6 +71,10 @@ def main() -> None:
     title = "Running ResDepth-TPU: Prediction"
     print("\n{}\n{}\n".format(title, "=" * len(title)))
 
+    # Multi-process bootstrap (env-triggered) before any backend access.
+    from resdepth_tpu.parallel.bootstrap import maybe_initialize_distributed
+    maybe_initialize_distributed()
+
     if not fs.file_exists(cfg_file):
         print(f"ERROR: Cannot find the configuration file: {cfg_file}")
         sys.exit(1)

@@ -122,6 +122,12 @@ def main() -> None:
     title = "Running ResDepth-TPU: Training"
     print("\n{}\n{}\n".format(title, "=" * len(title)))
 
+    # Multi-process bootstrap (env-triggered form) must run before the
+    # first backend access; the config-triggered form re-checks after the
+    # merge below (idempotent).
+    from resdepth_tpu.parallel.bootstrap import maybe_initialize_distributed
+    maybe_initialize_distributed()
+
     if not fs.file_exists(cfg_file):
         print(f"ERROR: Cannot find the configuration file: {cfg_file}")
         sys.exit(1)
@@ -152,6 +158,8 @@ def main() -> None:
 
     seed = cfg.general.random_seed if cfg.general.random_seed is not None else 0
     np.random.seed(seed)
+
+    maybe_initialize_distributed(cfg.get("tpu"), logger)
 
     from resdepth_tpu.utils.backend_probe import BackendUnavailable, probe_backend
     try:
