@@ -114,6 +114,9 @@ def default_cfg() -> AttrDict:
                            # than K fall back to per-step dispatch.
         profile_dir="",
         donate_state=True,
+        remat=False,  # jax.checkpoint the train-step conv blocks
+                      # (gradient-identical recompute-vs-store trade;
+                      # measured A/B in BASELINE.md round 3)
     )
 
     return cfg

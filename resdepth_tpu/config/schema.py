@@ -69,6 +69,9 @@ TPU_KEYS = [
                             # (jax.distributed cluster auto-detection)
     "use_pallas",           # bool — enable fused Pallas kernels where available
     "steps_per_call",       # optimizer steps per jitted dispatch (lax.scan)
+    "remat",                # bool — jax.checkpoint the conv blocks in the
+                            # train step (recompute instead of store block
+                            # activations; gradient-identical)
     "profile_dir",          # jax.profiler trace output directory ('' = off)
     "donate_state",         # donate train-state buffers in the jitted step
 ]

@@ -389,7 +389,8 @@ def _valid_tpu_args(cfg_user, logger) -> bool:
                      "compute_dtype 'float32' (balanced16 IS the bf16-trunk "
                      "mode).\n")
         error = True
-    for key in ("data_parallel", "use_pallas", "donate_state", "distributed"):
+    for key in ("data_parallel", "use_pallas", "donate_state", "distributed",
+                "remat"):
         if key in tpu and not is_boolean(tpu[key], key, logger):
             error = True
     if "steps_per_call" in tpu and not is_positive_integer(

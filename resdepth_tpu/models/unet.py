@@ -500,7 +500,7 @@ def apply_unet(config: UNetConfig, params, state, x, *, train: bool = False,
                axis_name: str | None = None, sample_weights=None,
                mixed_precision: bool = False, precision=None,
                layer_precisions: dict | None = None,
-               hifi_endpoints: bool = False):
+               hifi_endpoints: bool = False, remat: bool = False):
     """Forward pass. ``x``: (N, H, W, C) with the initial DSM as channel 0.
 
     Returns ``(y, new_state)`` where ``y`` is (N, H, W, 1) and ``new_state``
@@ -533,11 +533,29 @@ def apply_unet(config: UNetConfig, params, state, x, *, train: bool = False,
     source) with only its output joining the bf16 trunk, and the composed
     top runs from f32-upcast activations with f32 kernels. The
     'balanced16' serving mode (models.unet.serving_precision).
+
+    ``remat`` (training only): wrap every conv(+BN+act) block in
+    ``jax.checkpoint`` so the block's internal activations (pre-BN conv
+    output, normalised values) are recomputed during the backward pass
+    instead of being stored to and re-read from HBM — a FLOPs-for-bandwidth
+    trade on the BN-traffic-bound f32 step (BASELINE.md profile). Gradients
+    are mathematically identical to the non-remat step; numerically they
+    differ only by XLA fusion reassociation in the recomputed backward
+    (measured ~1e-4 relative on TPU — same class of noise as any compiler
+    re-fusion). Forward-only calls ignore it.
     """
     def _prec(name):
         if layer_precisions is not None and name in layer_precisions:
             return layer_precisions[name]
         return precision
+
+    def _block(inp, blk, bst, act, name):
+        def fn(inp, blk, bst, sw):
+            return _conv_block(inp, blk, bst, act, config.do_BN, train,
+                               axis_name, sw, _prec(name))
+        if remat and train:
+            fn = jax.checkpoint(fn)
+        return fn(inp, blk, bst, sample_weights)
 
     new_state: dict = {"encoder": [], "decoder": []}
     skips = []
@@ -547,18 +565,16 @@ def apply_unet(config: UNetConfig, params, state, x, *, train: bool = False,
                                                  state["encoder"])):
         if mixed_precision and hifi_endpoints and i == 0:
             out = x  # full-fidelity first conv: raw f32 multiplicands
-        out, ns = _conv_block(out, block, block_state, config.act_fn_encoder,
-                              config.do_BN, train, axis_name, sample_weights,
-                              _prec(f"encoder{i}"))
+        out, ns = _block(out, block, block_state, config.act_fn_encoder,
+                         f"encoder{i}")
         if mixed_precision:
             out = out.astype(jnp.bfloat16)
         skips.append(out)
         out = _max_pool_2x2(out)
         new_state["encoder"].append(ns)
 
-    out, ns = _conv_block(out, params["bottleneck"], state["bottleneck"],
-                          config.act_fn_bottleneck, config.do_BN, train,
-                          axis_name, sample_weights, _prec("bottleneck"))
+    out, ns = _block(out, params["bottleneck"], state["bottleneck"],
+                     config.act_fn_bottleneck, "bottleneck")
     new_state["bottleneck"] = ns
 
     composed = params.get("top_composed")
@@ -570,9 +586,8 @@ def apply_unet(config: UNetConfig, params, state, x, *, train: bool = False,
         up = _upconv(out, block["up"], config.up_mode, _prec(f"up{i}"))
         out = skips[-1 - i] + up  # additive skip (lib/UNet.py:96-101)
         if i < n_decoder - 1:
-            out, ns = _conv_block(out, block, block_state, config.act_fn_decoder,
-                                  config.do_BN, train, axis_name, sample_weights,
-                                  _prec(f"decoder{i}"))
+            out, ns = _block(out, block, block_state, config.act_fn_decoder,
+                             f"decoder{i}")
         else:
             ns = block_state  # deepest decoder level: no conv after the add
         new_state["decoder"].append(ns)

@@ -85,7 +85,7 @@ def make_train_step(config: UNetConfig, spec: BatchSpec, tx, mesh=None,
                     precision=None, weighted_bn: bool = True,
                     layer_precisions: dict | None = None,
                     mixed_precision: bool = False,
-                    hifi_endpoints: bool = False):
+                    hifi_endpoints: bool = False, remat: bool = False):
     """Build the jitted train step.
 
     Signature: ``step(state, rasters, positions, pair_idx, bounds, weights,
@@ -116,6 +116,13 @@ def make_train_step(config: UNetConfig, spec: BatchSpec, tx, mesh=None,
     from the mesh itself) — a 2-D (DCN x ICI) multi-slice mesh needs no
     step changes.
 
+    ``remat`` wraps each conv(+BN+act) block in ``jax.checkpoint``
+    (models/unet.py::apply_unet) — recompute block activations in the
+    backward pass instead of storing them, targeting the measured ~42%
+    BN-elementwise HBM share of the f32-HIGH step (BASELINE.md). Gradients
+    are mathematically identical either way (numerics differ only by XLA
+    re-fusion, ~1e-4 relative); adopt-or-kill by measurement.
+
     ``steps_per_call > 1`` runs that many optimizer steps inside ONE jitted
     program via ``lax.scan`` (batch arrays gain a leading steps dimension and
     ``metric`` becomes a (steps,) vector). This amortises host dispatch
@@ -142,7 +149,8 @@ def make_train_step(config: UNetConfig, spec: BatchSpec, tx, mesh=None,
                                       precision=precision,
                                       layer_precisions=layer_precisions,
                                       mixed_precision=mixed_precision,
-                                      hifi_endpoints=hifi_endpoints)
+                                      hifi_endpoints=hifi_endpoints,
+                                      remat=remat)
             loss, (num, den) = denormalized_masked_l1(
                 pred, batch["target"], batch["loss_mask"], batch["dsm_mean"],
                 spec.dsm_std, weights, axis)

@@ -782,3 +782,36 @@ def test_backend_probe_in_process_config_beats_env(monkeypatch):
     monkeypatch.setattr(backend_probe.subprocess, "run", fake_run)
     assert backend_probe.probe_backend(timeout_s=1) == "tpu"
     assert ran
+
+
+def test_remat_train_step_matches_stock():
+    """tpu.remat (jax.checkpoint'd conv blocks) is a pure recompute-vs-store
+    trade: the metric stream and the trained parameters match the stock step
+    to re-fusion tolerance over several optimizer steps."""
+    config, spec, rasters, positions, pair_idx, bounds, weights = _toy_setup()
+    tx = build_optimizer("Adam", 1e-5)
+    key = jax.random.PRNGKey(1)
+
+    def run(remat, steps=5):
+        params, bn = init_unet(jax.random.PRNGKey(0), config)
+        state = init_train_state(params, bn, tx, 1e-3)
+        step = make_train_step(config, spec, tx, mesh=None, donate=False,
+                               remat=remat)
+        metrics = []
+        for _ in range(steps):
+            state, metric = step(state, rasters, positions, pair_idx, bounds,
+                                 weights, key)
+            metrics.append(float(metric))
+        return state, metrics
+
+    state_a, metrics_a = run(False)
+    state_b, metrics_b = run(True)
+    np.testing.assert_allclose(metrics_a, metrics_b, rtol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.bn_state),
+                    jax.tree_util.tree_leaves(state_b.bn_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-5)

@@ -357,10 +357,12 @@ def main() -> None:
     # and skips the weighted-moment passes (train/step.py).
     weighted_bn = (emit_size != batch_size or
                    any(len(ds) % batch_size != 0 for ds in train_datasets))
+    remat = cfg.tpu.get("remat", False)
     train_step = make_train_step(model_config, train_spec, tx, mesh=mesh,
                                  compute_dtype=compute_dtype,
                                  donate=cfg.tpu.donate_state,
-                                 weighted_bn=weighted_bn, **precision_kwargs)
+                                 weighted_bn=weighted_bn, remat=remat,
+                                 **precision_kwargs)
     steps_per_call = cfg.tpu.get("steps_per_call", 1)
     train_step_multi = None
     if steps_per_call > 1:
@@ -368,7 +370,7 @@ def main() -> None:
             model_config, train_spec, tx, mesh=mesh,
             compute_dtype=compute_dtype,
             donate=cfg.tpu.donate_state, steps_per_call=steps_per_call,
-            weighted_bn=weighted_bn, **precision_kwargs)
+            weighted_bn=weighted_bn, remat=remat, **precision_kwargs)
     # Validation always runs the f32 parity policy (dtype-adaptive HIGH),
     # independent of train_precision: val MAE stays comparable across
     # training modes and best-checkpoint selection is precision-stable.
