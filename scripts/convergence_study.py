@@ -532,7 +532,65 @@ def _write_result(out_dir: str, name: str, result: dict) -> None:
           f"final_lr={result.get('final_lr')} -> {path}")
 
 
-def report(out_dir: str) -> None:
+def plot(out_dir: str, results: list, png_path: str) -> None:
+    """Val-MAE curves, ours vs the reference stack (StepLR runs).
+
+    Colors are the dataviz default categorical slots in fixed order
+    (slot 1 blue = ours/balanced16, slot 2 orange = torch reference,
+    slot 3 aqua = ours f32 control); per-seed curves share their group's
+    hue so color follows the entity (the stack), not the seed.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    groups = {
+        "resdepth-tpu balanced16": ("#2a78d6", []),
+        "torch reference": ("#eb6834", []),
+        "resdepth-tpu f32 control": ("#1baf7a", []),
+    }
+    for r in results:
+        if r["scheduler"] != "steplr" or r["tag"].endswith("smoke"):
+            continue
+        if r["side"] == "torch-reference":
+            key = "torch reference"
+        elif r.get("precision") == "high":
+            key = "resdepth-tpu f32 control"
+        else:
+            key = "resdepth-tpu balanced16"
+        groups[key][1].append(r)
+
+    fig, ax = plt.subplots(figsize=(8, 4.5), dpi=150)
+    fig.patch.set_facecolor("#fcfcfb")
+    ax.set_facecolor("#fcfcfb")
+    for label, (color, runs) in groups.items():
+        for i, r in enumerate(sorted(runs, key=lambda r: r["seed"])):
+            epochs = [e for e, _ in r["val_curve"]]
+            vals = [v for _, v in r["val_curve"]]
+            ax.plot(epochs, vals, color=color, linewidth=1.4,
+                    alpha=0.9 if i == 0 else 0.55,
+                    label=label if i == 0 else None)
+    ax.axvline(STEP_SIZE, color="#52514e", linewidth=0.8, linestyle=":",
+               alpha=0.7)
+    ax.text(STEP_SIZE + 3, ax.get_ylim()[1] * 0.92,
+            f"StepLR fires (epoch {STEP_SIZE})", fontsize=8, color="#52514e")
+    ax.set_xlabel("epoch", fontsize=9, color="#0b0b0b")
+    ax.set_ylabel("val MAE (m)", fontsize=9, color="#0b0b0b")
+    ax.set_title("Long-horizon convergence: this framework vs the reference "
+                 "torch stack", fontsize=10, color="#0b0b0b")
+    ax.grid(True, color="#e8e7e4", linewidth=0.6)
+    for spine in ("top", "right"):
+        ax.spines[spine].set_visible(False)
+    for spine in ("left", "bottom"):
+        ax.spines[spine].set_color("#c3c2b7")
+    ax.tick_params(colors="#52514e", labelsize=8)
+    ax.legend(frameon=False, fontsize=8, labelcolor="#0b0b0b")
+    fig.tight_layout()
+    fig.savefig(png_path)
+    print(f"figure -> {png_path}")
+
+
+def report(out_dir: str, png_path: str | None = None) -> None:
     results_dir = os.path.join(out_dir, "results")
     results = []
     for name in sorted(os.listdir(results_dir)):
@@ -541,6 +599,8 @@ def report(out_dir: str) -> None:
     if not results:
         print("no results")
         return
+    if png_path:
+        plot(out_dir, results, png_path)
 
     marks = [10, 25, 50, 100, 150, 200, 210, 250, 300]
     print("| run | backend | " + " | ".join(f"val@{m}" for m in marks)
@@ -574,6 +634,8 @@ def main() -> None:
                    choices=["balanced16", "high", "default", "balanced"])
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--tag", default=None)
+    p.add_argument("--png", default=None,
+                   help="report: also render the val-MAE curves to this path")
     args = p.parse_args()
 
     if args.cmd == "gen":
@@ -584,7 +646,7 @@ def main() -> None:
         run_jax(args.out, args.seed, args.epochs, args.scheduler,
                 args.precision, args.cpu, args.tag)
     else:
-        report(args.out)
+        report(args.out, png_path=args.png)
 
 
 if __name__ == "__main__":
