@@ -815,3 +815,32 @@ def test_remat_train_step_matches_stock():
                     jax.tree_util.tree_leaves(state_b.bn_state)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=2e-5)
+
+
+def test_remat_data_parallel_equivalence():
+    """remat composes with shard_map data parallelism: the jax.checkpoint'd
+    blocks recompute cross-replica BN pmean/psum collectives in the backward
+    pass, which must not change results vs the single-device remat step."""
+    config, spec, rasters, positions, pair_idx, bounds, weights = _toy_setup(batch=8)
+    tx = build_optimizer("Adam", 1e-5)
+    key = jax.random.PRNGKey(1)
+
+    def run(mesh, steps=3):
+        params, bn = init_unet(jax.random.PRNGKey(0), config)
+        state = init_train_state(params, bn, tx, 1e-3)
+        step = make_train_step(config, spec, tx, mesh=mesh, donate=False,
+                               remat=True)
+        metrics = []
+        for _ in range(steps):
+            state, metric = step(state, rasters, positions, pair_idx, bounds,
+                                 weights, key)
+            metrics.append(float(metric))
+        return state, metrics
+
+    state_1, metrics_1 = run(None)
+    state_8, metrics_8 = run(data_mesh(8))
+    np.testing.assert_allclose(metrics_1, metrics_8, rtol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(state_1.params),
+                    jax.tree_util.tree_leaves(state_8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-5)
