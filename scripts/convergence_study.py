@@ -6,15 +6,15 @@ optimizer steps plus 400-step demo runs; nothing showed the stack tracks
 reference convergence over hundreds of epochs with schedulers actually
 firing (the reference operating point is 2000 epochs with StepLR step 200,
 /root/reference/lib/config.py:77-113). This study trains BOTH stacks on an
-identical synthetic multi-region scene for 250 epochs at reference
+identical synthetic multi-region scene for 300 epochs at reference
 hyperparameters (batch 20, Adam 2e-4/wd 1e-5, denormalised masked L1,
 StepLR(200, 0.1) stepping once per validation epoch — which is the
 reference semantics, lib/Trainer.py:296-300), across multiple seeds, and
 compares val-MAE trajectories, scheduler firing, and the final
-refined-test-stripe MAE.
+refined-test-stripe MAE. Results: docs/CONVERGENCE.md.
 
-Scale: the model/tile are reduced (depth-3 UNet, start 16, 32 px tiles,
-320 samples/epoch) so the reference torch stack finishes 250 epochs on
+Scale: the model/tile are reduced (depth-4 UNet, start 16, 64 px tiles,
+320 samples/epoch) so the reference torch stack finishes 300 epochs on
 this 1-core host in minutes rather than days — the dynamics under test
 (BN statistics, Adam moments, scheduler coupling, masked-loss denorm over
 hundreds of epochs) are scale-independent; the full-scale flagship numbers
@@ -32,11 +32,11 @@ verbatim semantics.
 
 Usage:
   python scripts/convergence_study.py gen    --out DIR [--scene-seed 3]
-  python scripts/convergence_study.py torch  --out DIR --seed 0 [--epochs 250]
+  python scripts/convergence_study.py torch  --out DIR --seed 0 [--epochs 300]
                                              [--scheduler steplr|plateau]
   python scripts/convergence_study.py jax    --out DIR --seed 0
                                              [--precision balanced16|high]
-                                             [--cpu] [--epochs 250]
+                                             [--cpu] [--epochs 300]
                                              [--scheduler steplr|plateau]
   python scripts/convergence_study.py report --out DIR
 
