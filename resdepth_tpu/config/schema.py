@@ -90,11 +90,16 @@ MODEL_KEYS_eval = ["weights", "architecture", "normalization_geom", "normalizati
 GENERAL_KEYS_eval = ["tile_size", "workers", "batch_size", "compute_dtype",
                      "data_parallel",
                      "use_pallas",
-                     "tile_stride"]  # opt-in tile-grid stride (default
+                     "tile_stride",  # opt-in tile-grid stride (default
                                      # tile_size/2 — the reference's fixed
                                      # overlap, lib/DsmOrthoDataset.py:99-100;
                                      # larger strides trade seam blending for
                                      # up to ~4x less compute per scene)
+                     "tta"]          # opt-in dihedral test-time augmentation
+                                     # count {1,2,4,8}: average predictions
+                                     # over a spatial-symmetry subgroup at
+                                     # tta x model compute (infer/tiled.py;
+                                     # accuracy trade in BASELINE.md)
 OUTPUT_KEYS_eval = ["directory"]
 
 # ------------------------------ Valid values ---------------------------- #

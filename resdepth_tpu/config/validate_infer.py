@@ -225,6 +225,16 @@ def _valid_general_args(cfg, logger) -> bool:
             logger.info(f"tile_stride {general.tile_stride} != tile_size/2 "
                         f"({general.tile_size // 2}): output departs from "
                         "reference-parity tiling (less/more seam overlap).\n")
+    if "tta" in general:
+        if not is_positive_integer(general.tta, "tta", logger):
+            error = True
+        elif general.tta not in (1, 2, 4, 8):
+            # Supported counts are dihedral SUBGROUPS (infer/tiled.py:
+            # TTA_SUBGROUPS) so the averaged predictor is exactly invariant
+            # under the chosen symmetries.
+            logger.error(f"Invalid argument 'tta': {general.tta} must be one "
+                         f"of [1, 2, 4, 8] (dihedral subgroup sizes).\n")
+            error = True
     if "data_parallel" in general and not is_boolean(general.data_parallel,
                                                      "data_parallel", logger):
         error = True

@@ -44,6 +44,30 @@ from resdepth_tpu.ops.pallas_stitch import (crop_scene, pad_scene,
                                             stitch_tiles_xla)
 
 
+# Dihedral-group subsets for test-time augmentation (general.tta). Element
+# g encodes rot90 by (g % 4) quarter turns, composed with a horizontal flip
+# when g >= 4. Each supported count is a SUBGROUP of D4 (closed under
+# composition), so the averaged predictor is exactly invariant under it:
+#   2 -> {identity, horizontal flip}; 4 -> the rotation subgroup; 8 -> D4.
+TTA_SUBGROUPS = {1: (0,), 2: (0, 4), 4: (0, 1, 2, 3), 8: tuple(range(8))}
+
+
+def _dihedral_apply(x, g: int):
+    """Apply dihedral element ``g`` to the spatial axes (1, 2) of a batched
+    square tile tensor — (B, H, W) or (B, H, W, C)."""
+    if g >= 4:
+        x = jnp.flip(x, axis=2)
+    return jnp.rot90(x, k=g % 4, axes=(1, 2))
+
+
+def _dihedral_invert(y, g: int):
+    """Inverse of :func:`_dihedral_apply`: (rot_k ∘ flip)⁻¹ = flip ∘ rot_-k."""
+    y = jnp.rot90(y, k=-(g % 4), axes=(1, 2))
+    if g >= 4:
+        y = jnp.flip(y, axis=2)
+    return y
+
+
 def _pad_round_up(array, n, pad_value=0):
     pad = n - array.shape[0]
     if pad == 0:
@@ -54,7 +78,7 @@ def _pad_round_up(array, n, pad_value=0):
 
 @functools.lru_cache(maxsize=32)
 def _make_scene_fn(config: UNetConfig, spec: BatchSpec, shape, dsm_std,
-                   compute_dtype, mesh, axis_name, use_pallas):
+                   compute_dtype, mesh, axis_name, use_pallas, tta):
     """Build (and cache) the jitted scene program.
 
     Memoised on its static configuration: a fresh closure per call would give
@@ -65,20 +89,37 @@ def _make_scene_fn(config: UNetConfig, spec: BatchSpec, shape, dsm_std,
         zeros_bounds = jnp.zeros((pos_b.shape[1], 4), jnp.int32)
         key = jax.random.PRNGKey(0)  # inference consumes no randomness
 
-        def body(carry, xs):
-            pos, pair, wy, wx = xs
-            batch = build_batch(rasters, pos, pair, zeros_bounds, key, spec)
+        def run_model(x):
             if compute_dtype in SERVING_PRECISION_MODES:
                 # String serving modes; see models.unet.serving_precision
                 # for the registry and the semantics of each mode.
                 sm = serving_precision(compute_dtype)
                 pred, _ = apply_unet(config, params, bn_state,
-                                     batch["input"].astype(jnp.float32),
+                                     x.astype(jnp.float32),
                                      train=False, **sm.apply_kwargs())
             else:
-                x = batch["input"].astype(compute_dtype)
-                pred, _ = apply_unet(config, params, bn_state, x, train=False)
-            pred = pred[..., 0].astype(jnp.float32)
+                pred, _ = apply_unet(config, params, bn_state,
+                                     x.astype(compute_dtype), train=False)
+            return pred[..., 0].astype(jnp.float32)
+
+        def body(carry, xs):
+            pos, pair, wy, wx = xs
+            batch = build_batch(rasters, pos, pair, zeros_bounds, key, spec)
+            if tta == 1:
+                pred = run_model(batch["input"])
+            else:
+                # Test-time augmentation: average the model over a dihedral
+                # subgroup (opt-in general.tta; measured accuracy gains in
+                # BASELINE.md). Averaging the NORMALISED predictions equals
+                # averaging the denormalised ones (the stitch's per-tile
+                # affine denorm is linear), so the accumulation stays here,
+                # upstream of the fused stitch. The unrolled loop keeps peak
+                # activation memory at one forward pass.
+                acc = 0.0
+                for g in TTA_SUBGROUPS[tta]:
+                    acc += _dihedral_invert(
+                        run_model(_dihedral_apply(batch["input"], g)), g)
+                pred = acc / tta
             # Denormalisation + blend weighting + overlap-add fuse into the
             # stitch op (Pallas kernel on TPU, scatter-add elsewhere). The
             # Pallas path carries an alignment-padded scene through the scan.
@@ -124,11 +165,14 @@ def _inference_spec(ds: TileDataset) -> BatchSpec:
 
 def _predict_tiles(config, params, bn_state, rasters, positions, pair_idx,
                    wy, wx, shape, spec, dsm_std, batch_size, mesh,
-                   compute_dtype, use_pallas):
+                   compute_dtype, use_pallas, tta=1):
     """Run the jitted scan over one set of tiles into a (rows, cols) canvas.
 
     Returns the DEVICE canvas: the scan is dispatched asynchronously, so the
     caller can overlap the fetch with further host/device work."""
+    if tta not in TTA_SUBGROUPS:
+        raise ValueError(f"tta must be one of {sorted(TTA_SUBGROUPS)}, "
+                         f"got {tta!r}")
     tile = spec.tile_size
     n = len(positions)
     n_dev = mesh.devices.size if mesh is not None else 1
@@ -149,7 +193,7 @@ def _predict_tiles(config, params, bn_state, rasters, positions, pair_idx,
                               compute_dtype, mesh,
                               tuple(mesh.axis_names) if mesh is not None
                               else None,
-                              use_pallas)
+                              use_pallas, tta)
     return scene_fn(params, bn_state, rasters,
                     positions.reshape(n_steps, per_step, 2),
                     pair_idx.reshape(n_steps, per_step),
@@ -161,7 +205,8 @@ def predict_linear_blend(config: UNetConfig, params, bn_state, ds: TileDataset,
                          *, batch_size: int = 64, mesh=None,
                          compute_dtype=jnp.float32,
                          rasters=None, use_pallas: bool | None = None,
-                         fold_bn: bool = True, as_numpy: bool = True):
+                         fold_bn: bool = True, as_numpy: bool = True,
+                         tta: int = 1):
     """Refine a whole scene; returns the blended refined DSM (rows, cols).
 
     ``ds`` must be a 'test'-strategy TileDataset (overlapping grid). Interface
@@ -185,6 +230,13 @@ def predict_linear_blend(config: UNetConfig, params, bn_state, ds: TileDataset,
     caller overlap this scene's compute/fetch with other work (test.py
     pipelines consecutive image pairs this way); call ``np.asarray`` on the
     result to materialise it.
+
+    ``tta``: dihedral test-time augmentation count in {1, 2, 4, 8}
+    (``general.tta``) — each tile is predicted under that dihedral SUBGROUP
+    of spatial symmetries and the inverse-transformed predictions averaged.
+    Costs ``tta``× model compute; accuracy trade measured in BASELINE.md.
+    The reference has no analogue (its D4 augmentation is train-time only,
+    lib/DsmOrthoDataset.py).
     """
     if fold_bn:
         from resdepth_tpu.models.unet import fold_serving
@@ -199,7 +251,7 @@ def predict_linear_blend(config: UNetConfig, params, bn_state, ds: TileDataset,
     out = _predict_tiles(config, params, bn_state, rasters, ds.positions,
                          ds.pair_indices, wy, wx, ds.dsm_input.shape,
                          _inference_spec(ds), ds.dsm_std, batch_size, mesh,
-                         compute_dtype, use_pallas)
+                         compute_dtype, use_pallas, tta)
     return np.asarray(out) if as_numpy else out
 
 
@@ -209,7 +261,8 @@ def predict_linear_blend_streaming(config: UNetConfig, params, bn_state,
                                    batch_size: int = 64, mesh=None,
                                    compute_dtype=jnp.float32,
                                    use_pallas: bool | None = None,
-                                   fold_bn: bool = True) -> np.ndarray:
+                                   fold_bn: bool = True,
+                                   tta: int = 1) -> np.ndarray:
     """Refine a scene too large for device memory by streaming row bands.
 
     The stitch is additive, so the tile grid can be partitioned arbitrarily:
@@ -251,7 +304,7 @@ def predict_linear_blend_streaming(config: UNetConfig, params, bn_state,
             config, params, bn_state, band_rasters, band_positions,
             ds.pair_indices[band_idx], wy_all[band_idx], wx_all[band_idx],
             (window.stop - window.start, cols), spec, ds.dsm_std, batch_size,
-            mesh, compute_dtype, use_pallas)
+            mesh, compute_dtype, use_pallas, tta)
         out[window] += np.asarray(band_out)
 
     return out
@@ -264,7 +317,8 @@ def predict_linear_blend_scene_sharded(config: UNetConfig, params, bn_state,
                                        devices=None,
                                        compute_dtype=jnp.float32,
                                        use_pallas: bool | None = None,
-                                       fold_bn: bool = True) -> np.ndarray:
+                                       fold_bn: bool = True,
+                                       tta: int = 1) -> np.ndarray:
     """Refine a scene too large for ONE chip's HBM using the whole slice.
 
     The sequential streaming path (``predict_linear_blend_streaming``) bounds
@@ -342,7 +396,7 @@ def predict_linear_blend_scene_sharded(config: UNetConfig, params, bn_state,
                 _pad_round_up(wy_all[band_idx], n_tiles, 0.0),
                 _pad_round_up(wx_all[band_idx], n_tiles, 0.0),
                 (window_rows, cols), spec, ds.dsm_std, batch_size,
-                None, compute_dtype, use_pallas)
+                None, compute_dtype, use_pallas, tta)
             pending.append((window, band_out))
         for window, band_out in pending:
             out[window] += np.asarray(band_out)[:window.stop - window.start]

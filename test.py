@@ -144,6 +144,8 @@ def main() -> None:
     # None -> TileDataset's 'test' default, tile_size/2 (reference parity).
     tile_stride = cfg.general.get("tile_stride")
     use_pallas = cfg.general.get("use_pallas")  # None = auto by platform
+    # Opt-in dihedral test-time augmentation (1 = off, reference parity).
+    tta = int(cfg.general.get("tta", 1))
     # Tile batches shard over every available chip; each device accumulates a
     # partial scene and one psum over ICI merges them (infer/tiled.py).
     mesh = None
@@ -228,13 +230,13 @@ def main() -> None:
                             model_config, params, bn_state, tile_ds,
                             max_device_pixels=MAX_DEVICE_PIXELS,
                             batch_size=batch_size, compute_dtype=compute_dtype,
-                            use_pallas=use_pallas)
+                            use_pallas=use_pallas, tta=tta)
                     else:
                         prediction = predict_linear_blend_streaming(
                             model_config, params, bn_state, tile_ds,
                             max_device_pixels=MAX_DEVICE_PIXELS,
                             batch_size=batch_size, compute_dtype=compute_dtype,
-                            use_pallas=use_pallas, mesh=mesh)
+                            use_pallas=use_pallas, mesh=mesh, tta=tta)
                 else:
                     if device_rasters is None:
                         # inference never reads the ground truth: evaluation
@@ -252,7 +254,7 @@ def main() -> None:
                         model_config, params, bn_state, tile_ds,
                         batch_size=batch_size, compute_dtype=compute_dtype,
                         rasters=pair_rasters, use_pallas=use_pallas, mesh=mesh,
-                        as_numpy=not overlap)
+                        as_numpy=not overlap, tta=tta)
                 pair_tag = (f" ({folder})" if image_pair is not None else "")
                 job = (prediction, tile_ds, output_directory, pair_tag)
 

@@ -444,3 +444,33 @@ def test_compilation_cache_fingerprint_uses_raw_cpuid():
     assert a != b
     # the full fingerprint is stable within one host/process
     assert cc._host_fingerprint() == cc._host_fingerprint()
+
+
+def test_validate_infer_tta(make_geotiff, tmp_path):
+    """general.tta (opt-in eval knob) accepts dihedral subgroup sizes only
+    (infer/tiled.py: TTA_SUBGROUPS — the averaged predictor is exactly
+    invariant only when the transform set is closed under composition)."""
+    raster = make_geotiff("dsm.tif", np.zeros((64, 64), np.float32))
+    arch = {"name": "UNet", "input_channels": "geom",
+            "settings": {"n_input_channels": 1, "depth": 2, "start_kernel": 4}}
+    arch_path = str(tmp_path / "model_config.json")
+    io.write_json(arch, arch_path)
+    weights_path = str(tmp_path / "weights.npz")
+    np.savez(weights_path, dummy=np.zeros(1))
+    norm_path = str(tmp_path / "norm.json")
+    io.write_json({"mean": None, "std": 1.0}, norm_path)
+
+    def check(value):
+        cfg = {
+            "datasets": [{"raster_in": raster}],
+            "model": {"weights": weights_path, "architecture": arch_path,
+                      "normalization_geom": norm_path},
+            "general": {"tile_size": 16, "tta": value},
+            "output": {"directory": str(tmp_path / "eval_out")},
+        }
+        return validate_infer.validate_and_update_cfg_file(cfg, logger).status
+
+    for good in (1, 2, 4, 8):
+        assert check(good) is True, good
+    for bad in (0, 3, 5, 6, 7, 16, -1, "all", 2.0):
+        assert check(bad) is False, bad

@@ -598,3 +598,119 @@ def test_predict_experimental_precision_modes(make_geotiff):
             # f32-storage modes agree tightly there; on TPU they deviate at
             # the documented cm scale.
             np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.1)
+
+
+def test_dihedral_helpers_group_properties():
+    """TTA transform helpers: invert(apply(x, g), g) == x for every dihedral
+    element, the 8 images of an asymmetric tile are pairwise distinct, and
+    each supported TTA count indexes a set CLOSED under composition (a
+    subgroup — what makes the averaged predictor exactly invariant)."""
+    from resdepth_tpu.infer.tiled import (TTA_SUBGROUPS, _dihedral_apply,
+                                          _dihedral_invert)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 3)).astype(np.float32))
+
+    images = []
+    for g in range(8):
+        xg = _dihedral_apply(x, g)
+        np.testing.assert_array_equal(np.asarray(_dihedral_invert(xg, g)),
+                                      np.asarray(x), err_msg=f"g={g}")
+        images.append(np.asarray(xg))
+    for a in range(8):
+        for b in range(a + 1, 8):
+            assert not np.array_equal(images[a], images[b]), (a, b)
+
+    # Closure: composing any two elements of a subgroup stays inside it.
+    def compose(a, b):
+        """Index of the element equal to apply(apply(., b), a)."""
+        probe = jnp.asarray(rng.normal(size=(1, 4, 4, 1)).astype(np.float32))
+        target = np.asarray(_dihedral_apply(_dihedral_apply(probe, b), a))
+        matches = [g for g in range(8)
+                   if np.array_equal(np.asarray(_dihedral_apply(probe, g)),
+                                     target)]
+        assert len(matches) == 1
+        return matches[0]
+
+    for count, members in TTA_SUBGROUPS.items():
+        for a in members:
+            for b in members:
+                assert compose(a, b) in members, (count, a, b)
+
+
+def test_predict_tta_matches_host_oracle(make_geotiff):
+    """predict_linear_blend(tta=8) == a host oracle that transforms each
+    normalised input tile by every dihedral element with INDEPENDENT numpy
+    rot90/flip, runs the model, inverse-transforms, averages, denormalises,
+    and blends — pinning the transform/invert/average wiring end to end on
+    multi-channel (geom-stereo) inputs."""
+    import dataclasses as _dc
+
+    from resdepth_tpu.models.unet import apply_unet
+
+    paths, dsm, gt, images = _scene(make_geotiff, rows=48, cols=48)
+    entry = {"raster_in": paths["raster_in"],
+             "image_list": paths["image_list"], "image_pairs": [(0, 1)],
+             "area_defn": {"x_extent": [(0, 47)], "y_extent": [(0, 47)]}}
+    ds = TileDataset(entry, input_channels="geom-stereo", tile_size=16,
+                     sampling_strategy="test", dsm_std=5.0, ortho_mean=120.0,
+                     ortho_std=25.0)
+    config = UNetConfig(n_input_channels=3, start_kernel=4, max_filter_depth=8,
+                        depth=2)
+    params, bn_state = init_unet(jax.random.PRNGKey(1), config)
+
+    out = predict_linear_blend(config, params, bn_state, ds, batch_size=3,
+                               tta=8)
+
+    # Host oracle. Reuse the fused gather/normalise stage for input assembly
+    # (its parity has its own oracle above); the dihedral machinery under
+    # test is reimplemented here with plain numpy.
+    spec = _dc.replace(
+        batch_spec_for(ds, transform_dsm=True, transform_orthos=True,
+                       augment=False),
+        use_bounds=False, has_target=False)
+    rasters = device_put_dataset(ds)
+    rasters = _dc.replace(rasters, dsm_target=None)
+    n = len(ds)
+    batch = build_batch(rasters, jnp.asarray(ds.positions),
+                        jnp.asarray(ds.pair_indices),
+                        jnp.zeros((n, 4), jnp.int32),
+                        jax.random.PRNGKey(0), spec)
+    x = np.asarray(batch["input"])
+    means = np.asarray(batch["dsm_mean"])
+
+    preds = np.zeros(x.shape[:3], np.float32)
+    for g in range(8):
+        xg = x.copy()
+        if g >= 4:
+            xg = np.flip(xg, axis=2)
+        xg = np.rot90(xg, k=g % 4, axes=(1, 2))
+        pg, _ = apply_unet(config, params, bn_state, jnp.asarray(xg),
+                           train=False)
+        pg = np.asarray(pg)[..., 0]
+        pg = np.rot90(pg, k=-(g % 4), axes=(1, 2))
+        if g >= 4:
+            pg = np.flip(pg, axis=2)
+        preds += pg
+    preds /= 8.0
+
+    expected = np.zeros_like(dsm)
+    t = ds.tile_size
+    for i in range(n):
+        y, xc = ds.positions[i]
+        denorm = preds[i] * ds.dsm_std + means[i]
+        weights = blend.tile_weights(t, ds.stride, ds.valid_bounds[i])
+        expected[y:y + t, xc:xc + t] += denorm * weights
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-3)
+
+
+def test_predict_tta_rejects_non_subgroup_counts(make_geotiff):
+    paths, *_ = _scene(make_geotiff)
+    entry = {"raster_in": paths["raster_in"],
+             "area_defn": {"x_extent": [(0, 79)], "y_extent": [(0, 63)]}}
+    ds = TileDataset(entry, input_channels="geom", tile_size=16,
+                     sampling_strategy="test", dsm_std=5.0)
+    config = UNetConfig(n_input_channels=1, start_kernel=4, max_filter_depth=8,
+                        depth=2)
+    params, bn_state = init_unet(jax.random.PRNGKey(0), config)
+    with pytest.raises(ValueError, match="tta"):
+        predict_linear_blend(config, params, bn_state, ds, tta=3)
