@@ -37,7 +37,13 @@ MULTIVIEW_KEYS = ["config"]
 
 STEREO_KEYS = ["use_all_stereo_pairs", "permute_images_within_pair"]
 
-TRAINING_KEYS = ["n_training_samples", "tile_size", "augment", "loss", "batch_size", "n_epochs"]
+TRAINING_KEYS = ["n_training_samples", "tile_size", "augment", "loss", "batch_size", "n_epochs",
+                 "ema_decay"]  # opt-in exponential moving average of the
+                               # weights (0 = off): validation, checkpoints
+                               # and serving use the EMA model; the raw
+                               # optimizer iterate is kept for exact resume
+                               # (train/step.py; measured gains in
+                               # BASELINE.md). No reference analogue.
 
 OPTIMIZER_KEYS = ["name", "learning_rate", "weight_decay"]
 

@@ -265,6 +265,14 @@ def _valid_training_args(cfg_user, logger) -> bool:
         error = True
     if "loss" in training and not in_enum(training.loss, schema.LOSSES, "loss", logger):
         error = True
+    if "ema_decay" in training:
+        value = training.ema_decay
+        # 0 disables; 1 would freeze the EMA at initialisation forever.
+        if isinstance(value, bool) or not isinstance(value, (int, float)) \
+                or not (0 <= value < 1):
+            logger.error(f"Invalid argument 'ema_decay': {value!r} must be a "
+                         "number in [0, 1) (0 disables the weight EMA).\n")
+            error = True
     return not error
 
 

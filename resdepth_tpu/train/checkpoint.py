@@ -29,12 +29,19 @@ def _flatten_with_paths(tree) -> dict:
 
 
 def save_checkpoint(path: str, *, epoch: int, params, bn_state, opt_state=None,
+                    raw_params=None,
                     lr: float | None = None, loss_train=None, loss_val=None,
                     scheduler_state: dict | None = None, extra: dict | None = None):
-    """Write a checkpoint .npz (atomically via an in-memory buffer)."""
+    """Write a checkpoint .npz (atomically via an in-memory buffer).
+
+    ``params`` is always the tree every consumer serves (test.py, the .pth
+    exporter, warm starts). Under a weight EMA (training_settings.ema_decay)
+    the Trainer passes the EMA there and the raw optimizer iterate as
+    ``raw_params``, so serving "just works" while exact resume keeps the
+    true training trajectory."""
     arrays = {}
     for name, tree in (("params", params), ("bn_state", bn_state),
-                       ("opt_state", opt_state)):
+                       ("opt_state", opt_state), ("raw_params", raw_params)):
         if tree is not None:
             for key, leaf in _flatten_with_paths(tree).items():
                 arrays[f"{name}{key}"] = leaf
@@ -72,18 +79,22 @@ def load_meta(path: str) -> dict:
 
 
 def load_checkpoint(path: str, *, params_template=None, bn_template=None,
-                    opt_template=None):
+                    opt_template=None, raw_template=None):
     """Load a checkpoint; pytrees are restored into the given templates.
 
-    Returns ``(meta, params, bn_state, opt_state)`` — tree entries are None
-    when no template is supplied for them.
+    Returns ``(meta, params, bn_state, opt_state[, raw_params])`` — the
+    4-tuple unless ``raw_template`` is given (EMA checkpoints store the raw
+    optimizer iterate separately; ``raw_params`` is None when the file has
+    none). Tree entries are None when no template is supplied for them.
     """
     with np.load(path) as blob:
         meta = json.loads(bytes(blob[_META_KEY].tobytes()).decode())
         stored = {k: blob[k] for k in blob.files if k != _META_KEY}
 
-    def restore(name, template):
+    def restore(name, template, optional=False):
         if template is None:
+            return None
+        if optional and not any(k.startswith(name) for k in stored):
             return None
         flat, treedef = jax.tree_util.tree_flatten_with_path(template)
         leaves = []
@@ -98,8 +109,11 @@ def load_checkpoint(path: str, *, params_template=None, bn_template=None,
             leaves.append(value)
         return jax.tree_util.tree_unflatten(treedef, leaves)
 
-    return (meta, restore("params", params_template),
+    base = (meta, restore("params", params_template),
             restore("bn_state", bn_template), restore("opt_state", opt_template))
+    if raw_template is None:
+        return base
+    return base + (restore("raw_params", raw_template, optional=True),)
 
 
 class AsyncCheckpointer:
@@ -118,19 +132,20 @@ class AsyncCheckpointer:
         self._error = None
 
     def save(self, path: str, *, epoch: int, params, bn_state, opt_state=None,
-             **meta) -> None:
+             raw_params=None, **meta) -> None:
         import threading
 
         import jax.numpy as jnp
 
         self.wait()
-        snap_params, snap_bn, snap_opt = jax.tree_util.tree_map(
-            jnp.copy, (params, bn_state, opt_state))
+        snap_params, snap_bn, snap_opt, snap_raw = jax.tree_util.tree_map(
+            jnp.copy, (params, bn_state, opt_state, raw_params))
 
         def work():
             try:
                 save_checkpoint(path, epoch=epoch, params=snap_params,
-                                bn_state=snap_bn, opt_state=snap_opt, **meta)
+                                bn_state=snap_bn, opt_state=snap_opt,
+                                raw_params=snap_raw, **meta)
             except Exception as exc:  # surfaced on the next wait()/save()
                 self._error = exc
 

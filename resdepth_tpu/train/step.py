@@ -36,16 +36,33 @@ class TrainState:
     opt_state: object
     lr: jax.Array       # () f32 — schedulable without recompilation
     step: jax.Array     # () i32
+    # Exponential moving average of ``params`` (None = EMA disabled). The
+    # EMA model is what validation/checkpoints/serving consume when enabled
+    # (training_settings.ema_decay); ``params`` stays the raw optimizer
+    # iterate. No reference analogue.
+    ema_params: dict | None = None
 
     def replace(self, **kwargs) -> "TrainState":
         return dataclasses.replace(self, **kwargs)
 
+    @property
+    def serve_params(self):
+        """The weights to evaluate/checkpoint/serve: EMA when enabled."""
+        return self.params if self.ema_params is None else self.ema_params
 
-def init_train_state(params, bn_state, tx, lr: float) -> TrainState:
+
+def init_train_state(params, bn_state, tx, lr: float,
+                     ema: bool = False) -> TrainState:
     return TrainState(params=params, bn_state=bn_state,
                       opt_state=tx.init(params),
                       lr=jnp.asarray(lr, jnp.float32),
-                      step=jnp.asarray(0, jnp.int32))
+                      step=jnp.asarray(0, jnp.int32),
+                      # Seed the EMA at the initial weights (the standard
+                      # bias-free initialisation; no warmup correction).
+                      # COPIES, not aliases: the donated train state must
+                      # not present the same buffer as two arguments.
+                      ema_params=(jax.tree_util.tree_map(jnp.copy, params)
+                                  if ema else None))
 
 
 def _mesh_axes(mesh):
@@ -85,7 +102,8 @@ def make_train_step(config: UNetConfig, spec: BatchSpec, tx, mesh=None,
                     precision=None, weighted_bn: bool = True,
                     layer_precisions: dict | None = None,
                     mixed_precision: bool = False,
-                    hifi_endpoints: bool = False, remat: bool = False):
+                    hifi_endpoints: bool = False, remat: bool = False,
+                    ema_decay: float = 0.0):
     """Build the jitted train step.
 
     Signature: ``step(state, rasters, positions, pair_idx, bounds, weights,
@@ -122,6 +140,12 @@ def make_train_step(config: UNetConfig, spec: BatchSpec, tx, mesh=None,
     BN-elementwise HBM share of the f32-HIGH step (BASELINE.md). Gradients
     are mathematically identical either way (numerics differ only by XLA
     re-fusion, ~1e-4 relative); adopt-or-kill by measurement.
+
+    ``ema_decay > 0`` additionally tracks an exponential moving average of
+    the weights inside the fused step (``state.ema_params``; requires a
+    state built with ``init_train_state(..., ema=True)``). The EMA is the
+    model validation/checkpoints serve; ``params`` remains the raw Adam/SGD
+    iterate so training dynamics are unchanged.
 
     ``steps_per_call > 1`` runs that many optimizer steps inside ONE jitted
     program via ``lax.scan`` (batch arrays gain a leading steps dimension and
@@ -166,9 +190,20 @@ def make_train_step(config: UNetConfig, spec: BatchSpec, tx, mesh=None,
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = apply_updates(state.params, updates, state.lr)
+        if ema_decay:
+            # One fused elementwise pass over the weights — negligible next
+            # to the Adam update already in the step. The decayed tracking
+            # of the raw iterate IS the served model under ema_decay
+            # (training_settings.ema_decay; Trainer.validate/_save).
+            d = jnp.float32(ema_decay)
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: (e * d + p.astype(jnp.float32) * (1 - d))
+                .astype(e.dtype), state.ema_params, new_params)
+        else:
+            new_ema = state.ema_params
         new_state = TrainState(params=new_params, bn_state=new_bn,
                                opt_state=new_opt, lr=state.lr,
-                               step=state.step + 1)
+                               step=state.step + 1, ema_params=new_ema)
         metric = num / jnp.maximum(den, 1.0)
         return new_state, metric
 

@@ -231,9 +231,11 @@ class Trainer:
                                                     shuffle_order=False):
             rasters = self.val_loaders[loader_id][0]
             positions, pair_idx, bounds, weights = batch
+            # serve_params: the EMA weights under training_settings.ema_decay
+            # (the model checkpoints/serving use), else the raw iterate.
             pending.append(self.eval_step(
-                self.state.params, self.state.bn_state, rasters, positions,
-                pair_idx, bounds, weights, key))
+                self.state.serve_params, self.state.bn_state, rasters,
+                positions, pair_idx, bounds, weights, key))
         if pending:
             sums = np.asarray(jnp.stack([num for num, _ in pending]))
             counts = np.asarray(jnp.stack([den for _, den in pending]))
@@ -251,9 +253,15 @@ class Trainer:
             return
         # Async: device-side snapshot now, fetch + write in a worker thread
         # (the device->host transfer otherwise stalls the step pipeline).
+        # Under an EMA, 'params' holds the SERVED (EMA) weights — every
+        # consumer (test.py, .pth export, warm start) picks them up with no
+        # special handling — and the raw optimizer iterate rides along as
+        # 'raw_params' for exact resume.
+        ema = self.state.ema_params is not None
         self._checkpointer.save(
-            path, epoch=epoch, params=self.state.params,
+            path, epoch=epoch, params=self.state.serve_params,
             bn_state=self.state.bn_state, opt_state=self.state.opt_state,
+            raw_params=self.state.params if ema else None,
             lr=self._lr(), loss_train=self._last_train_loss,
             loss_val=self._last_val_loss,
             scheduler_state=(self.scheduler.state_dict()

@@ -474,3 +474,26 @@ def test_validate_infer_tta(make_geotiff, tmp_path):
         assert check(good) is True, good
     for bad in (0, 3, 5, 6, 7, 16, -1, "all", 2.0):
         assert check(bad) is False, bad
+
+
+def test_validate_train_ema_decay(make_geotiff, tmp_path):
+    """training_settings.ema_decay (opt-in weight EMA) accepts numbers in
+    [0, 1) only — 1.0 would freeze the EMA at initialisation forever."""
+    raster = make_geotiff("dsm.tif", np.zeros((64, 64), np.float32))
+
+    def check(value):
+        cfg = {
+            "datasets": [{"raster_in": raster, "raster_gt": raster,
+                          "area_type": "train+val",
+                          "allocation_strategy": "5-crossval_vertical",
+                          "test_stripe": 0}],
+            "model": {"input_channels": "geom", "depth": 2, "start_kernel": 4},
+            "training_settings": {"tile_size": 16, "ema_decay": value},
+            "output": {"output_directory": str(tmp_path / "runs")},
+        }
+        return validate_train.validate_cfg_file(cfg, logger)
+
+    for good in (0, 0.5, 0.999, 0.0):
+        assert check(good) is True, good
+    for bad in (1.0, 1.5, -0.1, "high", True):
+        assert check(bad) is False, bad

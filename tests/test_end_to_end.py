@@ -631,3 +631,78 @@ def test_crossval_train_then_eval_val_area(make_geotiff, tmp_path, monkeypatch):
     # crossval val stripe == the chosen stripe (index 2): cols 40..59 of 100
     assert pred.cols == 20
     assert pred.geotransform[0] == pytest.approx(1000.0 + 40 * 0.25)
+
+
+def test_train_ema_cli(make_geotiff, tmp_path, monkeypatch):
+    """training_settings.ema_decay end to end: checkpoints carry the served
+    EMA weights as 'params' plus the raw iterate as 'raw_params' (distinct
+    trees), the eval CLI consumes them unmodified, and a warm start resumes
+    from the raw iterate while re-seeding the EMA from the served weights."""
+    import numpy as _np
+
+    paths, dsm, gt = _write_scene(make_geotiff, tmp_path)
+
+    def cfg_for(out_name, n_epochs, pretrained=None):
+        cfg = {
+            "datasets": [{"name": "synthetic",
+                          "raster_in": paths["raster_in"],
+                          "raster_gt": paths["raster_gt"],
+                          "area_type": "train+val",
+                          "allocation_strategy": "5-crossval_vertical",
+                          "test_stripe": 1, "n_training_samples": 16}],
+            "model": {"input_channels": "geom", "depth": 2, "start_kernel": 4,
+                      "max_filter_depth": 8},
+            "training_settings": {"tile_size": 16, "batch_size": 4,
+                                  "n_epochs": n_epochs, "augment": False,
+                                  "loss": "L1", "ema_decay": 0.9},
+            "optimizer": {"name": "Adam", "learning_rate": 0.001},
+            "scheduler": {"enabled": False},
+            "general": {"evaluate_rate": 1, "random_seed": 0},
+            "output": {"output_directory": str(tmp_path / out_name)},
+        }
+        if pretrained:
+            cfg["model"]["pretrained_path"] = pretrained
+        path = tmp_path / f"{out_name}.json"
+        path.write_text(json.dumps(cfg))
+        return str(path)
+
+    import train as train_cli
+    _run_cli(train_cli.main, cfg_for("runs_ema", 2), monkeypatch)
+    run_dir = sorted((tmp_path / "runs_ema").iterdir())[0]
+    last_npz = run_dir / "checkpoints" / "Model_last.npz"
+    assert "Weight EMA enabled: decay 0.9" in (run_dir / "run.log").read_text()
+
+    with _np.load(str(last_npz)) as blob:
+        param_keys = [k for k in blob.files if k.startswith("params[")]
+        raw_keys = [k for k in blob.files if k.startswith("raw_params[")]
+        assert param_keys and len(raw_keys) == len(param_keys)
+        # after 2 epochs at decay 0.9 the EMA must trail the raw iterate
+        diffs = [float(_np.abs(blob[k] - blob["raw_" + k]).max())
+                 for k in param_keys]
+        assert max(diffs) > 0
+
+    # the eval CLI serves the checkpoint's 'params' (the EMA weights) with
+    # no special handling
+    eval_cfg = {
+        "datasets": [{"raster_in": paths["raster_in"], "name": "emarun"}],
+        "model": {"weights": str(last_npz),
+                  "architecture": str(run_dir / "model_config.json"),
+                  "normalization_geom":
+                      str(run_dir / "DSM_normalization_parameters.p")},
+        "general": {"tile_size": 16},
+        "output": {"directory": str(tmp_path / "eval_ema")},
+    }
+    eval_path = tmp_path / "eval_ema.json"
+    eval_path.write_text(json.dumps(eval_cfg))
+    import test as test_cli
+    _run_cli(test_cli.main, str(eval_path), monkeypatch)
+    assert list((tmp_path / "eval_ema" / "emarun").glob("dsm_prediction*.tif"))
+
+    # warm start: continues from the raw iterate, EMA re-seeded
+    _run_cli(train_cli.main, cfg_for("runs_ema_resume", 1, str(last_npz)),
+             monkeypatch)
+    resume_dir = sorted((tmp_path / "runs_ema_resume").iterdir())[0]
+    log = (resume_dir / "training.log").read_text()
+    assert "Restoring the pretrained model from epoch 2" in log
+    with _np.load(str(resume_dir / "checkpoints" / "Model_last.npz")) as blob:
+        assert any(k.startswith("raw_params[") for k in blob.files)

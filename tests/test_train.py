@@ -844,3 +844,135 @@ def test_remat_data_parallel_equivalence():
                     jax.tree_util.tree_leaves(state_8.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=2e-5)
+
+
+def test_ema_matches_manual_recurrence_and_is_passive():
+    """training_settings.ema_decay: (a) the raw-iterate trajectory is
+    IDENTICAL with and without the EMA (it is a passive observer of the
+    update), and (b) state.ema_params equals the hand-computed recurrence
+    ema <- d*ema + (1-d)*params over that trajectory, seeded at init."""
+    config, spec, rasters, positions, pair_idx, bounds, weights = _toy_setup()
+    tx = build_optimizer("Adam", 0.0)
+    key = jax.random.PRNGKey(1)
+    decay = 0.9
+
+    def run(ema_decay):
+        params, bn = init_unet(jax.random.PRNGKey(0), config)
+        state = init_train_state(params, bn, tx, 3e-3, ema=ema_decay > 0)
+        step = make_train_step(config, spec, tx, mesh=None, donate=False,
+                               ema_decay=ema_decay)
+        trajectory = [state.params]
+        for _ in range(5):
+            state, _ = step(state, rasters, positions, pair_idx, bounds,
+                            weights, key)
+            trajectory.append(state.params)
+        return state, trajectory
+
+    state_ema, traj_ema = run(decay)
+    state_off, traj_off = run(0.0)
+
+    assert state_off.ema_params is None
+    for a, b in zip(jax.tree_util.tree_leaves(traj_ema[-1]),
+                    jax.tree_util.tree_leaves(traj_off[-1])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    expected = jax.tree_util.tree_map(np.asarray, traj_ema[0])
+    for params_t in traj_ema[1:]:
+        expected = jax.tree_util.tree_map(
+            lambda e, p: e * decay + np.asarray(p) * (1 - decay),
+            expected, params_t)
+    for a, b in zip(jax.tree_util.tree_leaves(state_ema.ema_params),
+                    jax.tree_util.tree_leaves(expected)):
+        np.testing.assert_allclose(np.asarray(a), b, rtol=1e-5, atol=1e-7)
+    # serve_params routes to the EMA exactly when enabled
+    assert state_ema.serve_params is state_ema.ema_params
+    assert state_off.serve_params is state_off.params
+
+
+def test_ema_multi_step_matches_sequential():
+    """The K-step fused scan applies the EMA every inner step: K=4 in one
+    call == 4 sequential single-step calls."""
+    config, spec, rasters, positions, pair_idx, bounds, weights = _toy_setup()
+    tx = build_optimizer("Adam", 0.0)
+    key = jax.random.PRNGKey(1)
+    decay = 0.95
+    k = 4
+
+    params, bn = init_unet(jax.random.PRNGKey(0), config)
+    state_a = init_train_state(params, bn, tx, 3e-3, ema=True)
+    step_1 = make_train_step(config, spec, tx, mesh=None, donate=False,
+                             ema_decay=decay)
+    for _ in range(k):
+        state_a, _ = step_1(state_a, rasters, positions, pair_idx, bounds,
+                            weights, key)
+
+    state_b = init_train_state(params, bn, tx, 3e-3, ema=True)
+    step_k = make_train_step(config, spec, tx, mesh=None, donate=False,
+                             steps_per_call=k, ema_decay=decay)
+    stack = lambda a: np.stack([a] * k)
+    state_b, _ = step_k(state_b, rasters, stack(positions), stack(pair_idx),
+                        stack(bounds), stack(weights), key)
+
+    # The scanned program folds the SAME rng per step index as the
+    # sequential path only when the per-step fold matches; both paths fold
+    # on state.step, so trajectories agree exactly up to refusion.
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.ema_params),
+                    jax.tree_util.tree_leaves(state_b.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_ema_data_parallel_equivalence():
+    """EMA under 8-device shard_map == single device (the EMA update is
+    replicated elementwise arithmetic on the post-psum weights)."""
+    config, spec, rasters, positions, pair_idx, bounds, weights = _toy_setup(batch=8)
+    tx = build_optimizer("Adam", 1e-5)
+    key = jax.random.PRNGKey(1)
+
+    def run(mesh):
+        params, bn = init_unet(jax.random.PRNGKey(0), config)
+        state = init_train_state(params, bn, tx, 1e-3, ema=True)
+        step = make_train_step(config, spec, tx, mesh=mesh, donate=False,
+                               ema_decay=0.9)
+        for _ in range(3):
+            state, _ = step(state, rasters, positions, pair_idx, bounds,
+                            weights, key)
+        return state
+
+    state_1 = run(None)
+    state_8 = run(data_mesh(8))
+    for a, b in zip(jax.tree_util.tree_leaves(state_1.ema_params),
+                    jax.tree_util.tree_leaves(state_8.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-5)
+
+
+def test_checkpoint_roundtrip_raw_params(tmp_path):
+    """EMA checkpoints: 'params' (served/EMA) and 'raw_params' (optimizer
+    iterate) round-trip independently; files without raw_params restore
+    None through the optional template."""
+    config = UNetConfig(n_input_channels=1, start_kernel=4, max_filter_depth=8,
+                        depth=2)
+    tx = build_optimizer("Adam", 0.0)
+    params, bn = init_unet(jax.random.PRNGKey(3), config)
+    raw = jax.tree_util.tree_map(lambda a: a + 1.0, params)
+
+    path = str(tmp_path / "ema_ckpt.npz")
+    ckpt_io.save_checkpoint(path, epoch=2, params=params, bn_state=bn,
+                            raw_params=raw)
+    template, bn_t = init_unet(jax.random.PRNGKey(9), config)
+    meta, p_r, bn_r, _, raw_r = ckpt_io.load_checkpoint(
+        path, params_template=template, bn_template=bn_t, raw_template=template)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(p_r)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(raw),
+                    jax.tree_util.tree_leaves(raw_r)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    path2 = str(tmp_path / "plain_ckpt.npz")
+    ckpt_io.save_checkpoint(path2, epoch=1, params=params, bn_state=bn)
+    meta2, _, _, _, raw_none = ckpt_io.load_checkpoint(
+        path2, params_template=template, bn_template=bn_t,
+        raw_template=template)
+    assert raw_none is None

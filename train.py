@@ -273,7 +273,14 @@ def main() -> None:
 
     tx = build_optimizer(cfg.optimizer.name, cfg.optimizer.weight_decay)
     scheduler = build_scheduler(cfg.scheduler, cfg.optimizer.learning_rate)
-    state = init_train_state(params, bn_state, tx, cfg.optimizer.learning_rate)
+    # Opt-in weight EMA (training_settings.ema_decay, 0/absent = off):
+    # validation/checkpoints/serving consume the EMA model; the raw iterate
+    # keeps training dynamics untouched (train/step.py).
+    ema_decay = float(cfg.training_settings.get("ema_decay", 0) or 0)
+    if ema_decay:
+        logger.info(f"Weight EMA enabled: decay {ema_decay}")
+    state = init_train_state(params, bn_state, tx, cfg.optimizer.learning_rate,
+                             ema=ema_decay > 0)
 
     # ------------------------------ warm start ----------------------------- #
     pretrained_path = cfg.model.get("pretrained_path")
@@ -298,7 +305,8 @@ def main() -> None:
                     pretrained_path, model_config,
                     want_adam=cfg.optimizer.name == "Adam")
             state = init_train_state(params, bn_state, tx,
-                                     cfg.optimizer.learning_rate)
+                                     cfg.optimizer.learning_rate,
+                                     ema=ema_decay > 0)
             if adam is not None:
                 mu, nu, count = adam
                 state = state.replace(opt_state=torch_import.graft_adam_state(
@@ -307,11 +315,23 @@ def main() -> None:
                             "reference checkpoint.")
         else:
             logger.info(f"Restoring checkpoint: {pretrained_path}")
-            resume_meta, params, bn_state, opt_state = ckpt_io.load_checkpoint(
-                pretrained_path, params_template=state.params,
-                bn_template=state.bn_state, opt_template=state.opt_state)
-            state = state.replace(params=params, bn_state=bn_state,
-                                  opt_state=opt_state)
+            resume_meta, params, bn_state, opt_state, raw_params = \
+                ckpt_io.load_checkpoint(
+                    pretrained_path, params_template=state.params,
+                    bn_template=state.bn_state, opt_template=state.opt_state,
+                    raw_template=state.params)
+            # EMA checkpoints store the served (EMA) weights as 'params'
+            # and the true optimizer iterate as 'raw_params'; training
+            # continues from the iterate in either case, and an enabled
+            # EMA re-seeds from the served weights.
+            iterate = raw_params if raw_params is not None else params
+            # Copy the EMA seed: when the checkpoint has no raw_params the
+            # iterate aliases 'params', and the donated train state must
+            # not carry the same buffer twice.
+            state = state.replace(
+                params=iterate, bn_state=bn_state, opt_state=opt_state,
+                ema_params=(jax.tree_util.tree_map(np.copy, params)
+                            if ema_decay else None))
         _warm_start_artifacts(pretrained_path, output_directory,
                               cfg.output.checkpoint_dir,
                               cfg.output.tboard_log_dir, logger)
@@ -362,7 +382,7 @@ def main() -> None:
                                  compute_dtype=compute_dtype,
                                  donate=cfg.tpu.donate_state,
                                  weighted_bn=weighted_bn, remat=remat,
-                                 **precision_kwargs)
+                                 ema_decay=ema_decay, **precision_kwargs)
     steps_per_call = cfg.tpu.get("steps_per_call", 1)
     train_step_multi = None
     if steps_per_call > 1:
@@ -370,7 +390,8 @@ def main() -> None:
             model_config, train_spec, tx, mesh=mesh,
             compute_dtype=compute_dtype,
             donate=cfg.tpu.donate_state, steps_per_call=steps_per_call,
-            weighted_bn=weighted_bn, remat=remat, **precision_kwargs)
+            weighted_bn=weighted_bn, remat=remat, ema_decay=ema_decay,
+            **precision_kwargs)
     # Validation always runs the f32 parity policy (dtype-adaptive HIGH),
     # independent of train_precision: val MAE stays comparable across
     # training modes and best-checkpoint selection is precision-stable.
