@@ -384,7 +384,12 @@ def run_torch(out_dir: str, seed: int, epochs: int, scheduler_name: str,
 # ------------------------------- jax side --------------------------------- #
 
 def run_jax(out_dir: str, seed: int, epochs: int, scheduler_name: str,
-            precision: str, on_cpu: bool, tag: str | None = None) -> dict:
+            precision: str, on_cpu: bool, tag: str | None = None,
+            extra_training: dict | None = None) -> dict:
+    """``extra_training`` merges extra training_settings keys into the run
+    config (e.g. {'ema_decay': 0.999} for the EMA A/B, scripts/ema_study.py)
+    — everything else, incl. the metric protocol, stays identical so results
+    remain comparable with the stored study JSONs."""
     scene = _load_scene(out_dir)
     tag = tag or f"seed{seed}_{scheduler_name}_{precision}"
     run_root = os.path.abspath(os.path.join(out_dir, "runs_jax", tag))
@@ -416,7 +421,7 @@ def run_jax(out_dir: str, seed: int, epochs: int, scheduler_name: str,
                                 "permute_images_within_pair": False},
         "training_settings": {"tile_size": TILE, "batch_size": BATCH,
                               "n_epochs": epochs, "augment": True,
-                              "loss": "L1"},
+                              "loss": "L1", **(extra_training or {})},
         "optimizer": {"name": "Adam", "learning_rate": LR,
                       "weight_decay": WD},
         "scheduler": sched,
