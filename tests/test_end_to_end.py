@@ -706,3 +706,69 @@ def test_train_ema_cli(make_geotiff, tmp_path, monkeypatch):
     assert "Restoring the pretrained model from epoch 2" in log
     with _np.load(str(resume_dir / "checkpoints" / "Model_last.npz")) as blob:
         assert any(k.startswith("raw_params[") for k in blob.files)
+
+
+def test_infer_tta_cli(make_geotiff, tmp_path, monkeypatch):
+    """general.tta end to end through test.py: tta=1 is bit-identical to the
+    knob being absent (reference-parity default), tta=4 threads through the
+    CLI to a finite, genuinely different prediction. The dihedral averaging
+    itself is pinned against a host oracle in test_pipeline.py."""
+    paths, dsm, gt = _write_scene(make_geotiff, tmp_path)
+
+    train_cfg = {
+        "datasets": [{"name": "synthetic", "raster_in": paths["raster_in"],
+                      "raster_gt": paths["raster_gt"],
+                      "area_type": "train+val",
+                      "allocation_strategy": "5-crossval_vertical",
+                      "test_stripe": 1, "n_training_samples": 16}],
+        "model": {"input_channels": "geom", "depth": 2, "start_kernel": 4,
+                  "max_filter_depth": 8},
+        "training_settings": {"tile_size": 16, "batch_size": 4, "n_epochs": 1,
+                              "augment": False, "loss": "L1"},
+        "optimizer": {"name": "Adam", "learning_rate": 0.001},
+        "scheduler": {"enabled": False},
+        "general": {"evaluate_rate": 1, "random_seed": 0},
+        "output": {"output_directory": str(tmp_path / "runs_tta")},
+    }
+    cfg_path = tmp_path / "tta_train.json"
+    cfg_path.write_text(json.dumps(train_cfg))
+    import train as train_cli
+    _run_cli(train_cli.main, str(cfg_path), monkeypatch)
+    run_dir = sorted((tmp_path / "runs_tta").iterdir())[0]
+
+    import test as test_cli
+
+    def run_eval(tag, tta):
+        general = {"tile_size": 16, "batch_size": 4}
+        if tta is not None:
+            general["tta"] = tta
+        eval_cfg = {
+            "datasets": [{"name": "synthetic",
+                          "raster_in": paths["raster_in"]}],
+            "model": {
+                "weights": str(run_dir / "checkpoints" / "Model_best.npz"),
+                "architecture": str(run_dir / "model_config.json"),
+                "normalization_geom":
+                    str(run_dir / "DSM_normalization_parameters.p")},
+            "general": general,
+            "output": {"directory": str(tmp_path / f"eval_tta_{tag}")},
+        }
+        eval_path = tmp_path / f"eval_tta_{tag}.json"
+        eval_path.write_text(json.dumps(eval_cfg))
+        _run_cli(test_cli.main, str(eval_path), monkeypatch)
+        preds = list((tmp_path / f"eval_tta_{tag}" / "synthetic")
+                     .glob("dsm_prediction*.tif"))
+        assert preds, f"no prediction for {tag}"
+        return raster_mod.open_raster(str(preds[0])).band(1)
+
+    pred_default = run_eval("default", None)
+    pred_tta1 = run_eval("t1", 1)
+    pred_tta4 = run_eval("t4", 4)
+
+    # tta=1 IS the default path, bit for bit.
+    np.testing.assert_array_equal(pred_tta1, pred_default)
+    # tta=4 actually reaches the predictor: finite output, same footprint,
+    # different values (a 1-epoch model is nowhere near D4-equivariant).
+    assert pred_tta4.shape == pred_tta1.shape
+    assert np.isfinite(pred_tta4).all()
+    assert np.abs(pred_tta4 - pred_tta1).max() > 0
