@@ -5,7 +5,7 @@ Usage: python scripts/config_smoke.py [seed] [n_cases] [--tpu]
 Samples configurations across the supported option space (channel modes x
 allocations x crossval x schedulers x optimizers x train precisions x
 steps_per_call x augment/permute x serving dtypes x tile sizes 16/32 x
-eval tile strides) and drives each through
+eval tile strides x weight EMA x dihedral TTA) and drives each through
 the REAL train.py / test.py CLIs on the hermetic 8-virtual-device CPU mesh
 — or, with ``--tpu``, on the inherited backend (the real chip): shape/
 alignment constraints only the hardware compiler enforces (e.g. the Mosaic
@@ -16,8 +16,11 @@ failure. Validation history: 16/16 sampled cases at introduction (one was
 a correct clean validator rejection before the harness respected the
 tile/depth constraint); 6/6 cases on the real chip (--tpu) BEFORE the
 round-2 widening of the sampled space (tile 32 / depth 3,
-balanced/balanced16 train precisions, eval tile_stride). The widened
-axes were swept in round 3 — see the validation log below.
+balanced/balanced16 train precisions, eval tile_stride). The round-3
+widening (weight EMA, dihedral TTA) was validated with a 12/12 CPU-mesh
+sweep (EMA sampled, TTA left at 1 by the draw) plus an 8/8 CPU-mesh sweep
+at seed 11 that exercised TTA 2/4 and EMA (TTA 8 is pinned separately by
+the unit suite and the chip-side TTA study in BASELINE.md).
 """
 import json
 import os
@@ -93,7 +96,9 @@ def sample_config(i):
     opt = rng.choice(["Adam", "SGD"])
 
     if channels == "geom-mono":
-        pair_lines = ["ortho_0", "ortho_2"]
+        # arity rule (orchestration._pairs_valid, parity lib/utils.py:782-826):
+        # mono takes exactly ONE pairlist line with ONE image
+        pair_lines = ["ortho_0"]
     elif channels == "geom-multiview":
         pair_lines = ["ortho_0, ortho_1, ortho_2"]
     else:
@@ -133,6 +138,10 @@ def sample_config(i):
                     ["high", "default", "balanced", "balanced16"]))},
         "output": {"output_directory": os.path.join(d, "runs")},
     }
+    # Opt-in weight EMA half the time (round-3 knob): exercises the
+    # EMA-carrying checkpoint format through the eval CLI below.
+    if rng.integers(0, 2):
+        cfg["training_settings"]["ema_decay"] = 0.99
     if channels == "geom-multiview":
         cfg["multiview"] = {"config": "3-view"}
     if sched == "none":
@@ -162,7 +171,8 @@ for i in range(n_cases):
            f"cv={crossval} sched={cfg['scheduler'].get('name', 'off')} "
            f"opt={cfg['optimizer']['name']} K={cfg['tpu']['steps_per_call']} "
            f"prec={cfg['tpu']['train_precision']} depth={cfg['model']['depth']} "
-           f"tile={cfg['training_settings']['tile_size']}")
+           f"tile={cfg['training_settings']['tile_size']} "
+           f"ema={cfg['training_settings'].get('ema_decay', 'off')}")
     if r.returncode != 0:
         fails += 1
         print("TRAIN FAIL", tag)
@@ -206,6 +216,10 @@ for i in range(n_cases):
     if rng.integers(0, 2):
         eval_cfg["general"]["tile_stride"] = int(rng.choice(
             [3 * tile // 4, tile]))
+    # Opt-in dihedral TTA half the time (round-3 knob): the transformed
+    # replicas change the predictor's batch geometry — chip-relevant space.
+    if rng.integers(0, 2):
+        eval_cfg["general"]["tta"] = int(rng.choice([2, 4, 8]))
     if channels != "geom":
         eval_cfg["model"]["normalization_image"] = os.path.join(
             run_dir, "Image_normalization_parameters.p")
@@ -217,11 +231,13 @@ for i in range(n_cases):
     if r.returncode != 0:
         fails += 1
         print("EVAL FAIL", tag, "dtype:", eval_cfg["general"]["compute_dtype"],
-              "stride:", eval_cfg["general"].get("tile_stride", "default"))
+              "stride:", eval_cfg["general"].get("tile_stride", "default"),
+              "tta:", eval_cfg["general"].get("tta", 1))
         print((r.stdout + r.stderr)[-1200:])
         continue
     print("ok", tag, "dtype:", eval_cfg["general"]["compute_dtype"],
-          "stride:", eval_cfg["general"].get("tile_stride", "default"))
+          "stride:", eval_cfg["general"].get("tile_stride", "default"),
+          "tta:", eval_cfg["general"].get("tta", 1))
 
 print(f"combo smoke: {n_cases - fails}/{n_cases} passed")
 sys.exit(1 if fails else 0)
