@@ -626,12 +626,15 @@ def analytic_flops(config: UNetConfig, tile_size: int, *,
     elementwise BN/activation/pool traffic is bandwidth, not FLOPs, and is
     excluded). Mirrors the graph `apply_unet` executes for the topology of
     lib/UNet.py:196-246: per-level single conv3x3 encoder, conv3x3
-    bottleneck, `depth` transposed-conv upsamplings (k=2 s=2: exactly one
-    input tap per output pixel), conv3x3 after each non-top additive skip,
-    final conv3x3 to one channel. With ``composed_top`` (the serving graph
-    after `fold_top_decoder`) the full-resolution top upconv disappears and
-    the final conv splits into the skip conv at full res plus the composed
-    3x3x4-phase conv at half res.
+    bottleneck, `depth` upsamplings (transposed k=2 s=2 and
+    bilinear-resize + conv1x1 both cost exactly one input tap per output
+    pixel), conv3x3 after each non-top additive skip, final conv3x3 to one
+    channel. With ``composed_top`` (the serving graph after
+    `fold_top_decoder`) the full-resolution top upconv disappears and the
+    final conv splits into the skip conv at full res plus the composed
+    3x3x4-phase conv at half res — only for ``up_mode='transpose'``:
+    `fold_top_decoder` is a no-op for bilinear, so the flag is ignored
+    there and the unfolded graph is counted (the graph actually served).
 
     Train-step FLOPs/sample are conventionally 3x this (backward ~= 2x
     forward for conv stacks).
@@ -648,20 +651,20 @@ def analytic_flops(config: UNetConfig, tile_size: int, *,
     # bottleneck at t / 2^depth
     r = t >> config.depth
     flops += 2 * 9 * r * r * widths[-1] * widths[-1]
-    # decoder: upconv (1 tap/output px) + conv3x3, deepest-to-top
+    # decoder: upconv (1 tap/output px in BOTH up modes — transposed k2s2
+    # writes one tap per output pixel; bilinear is a MAC-free resize plus a
+    # conv1x1 with the same tap count) + conv3x3, deepest-to-top
+    composed = composed_top and config.up_mode == "transpose"
     widths_up = tuple(reversed(widths))
     for i in range(config.depth):
         r_out = t >> (config.depth - 1 - i)  # upconv output resolution
         top = i == config.depth - 1
-        if top and composed_top:
+        if top and composed:
             break  # the composed top has no materialised upconv
-        if config.up_mode == "transpose":
-            flops += 2 * r_out * r_out * widths_up[i] * widths_up[i]
-        else:  # bilinear: upsample (no MACs) + conv1x1
-            flops += 2 * r_out * r_out * widths_up[i] * widths_up[i]
-        if not top and i < config.depth - 1:
+        flops += 2 * r_out * r_out * widths_up[i] * widths_up[i]
+        if not top:
             flops += 2 * 9 * r_out * r_out * widths_up[i] * widths_up[i + 1]
-    if composed_top:
+    if composed:
         # last(skip) at full res -> 1 channel, plus CK on half-res d1 -> 4
         # phase channels (fold_top_decoder); the bias map is O(t^2) constant.
         flops += 2 * 9 * t * t * config.start_kernel * 1

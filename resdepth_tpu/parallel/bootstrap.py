@@ -55,7 +55,11 @@ def maybe_initialize_distributed(tpu_cfg=None, logger=None) -> bool:
 
     coordinator = os.environ.get(_ENV_COORDINATOR)
     cfg_wants = bool(tpu_cfg and tpu_cfg.get("distributed"))
-    env_wants = os.environ.get(_ENV_AUTO, "") not in ("", "0", "false")
+    # Case/whitespace-insensitive falsy spellings: "RESDEPTH_DISTRIBUTED=False"
+    # must DISABLE the bootstrap, not trigger cluster auto-detection on a
+    # single host (which would crash or hang waiting for peers).
+    env_wants = (os.environ.get(_ENV_AUTO, "").strip().lower()
+                 not in ("", "0", "false", "no", "off"))
     if not coordinator and not cfg_wants and not env_wants:
         return False
 

@@ -498,6 +498,10 @@ def run_jax(out_dir: str, seed: int, epochs: int, scheduler_name: str,
         for name in files:
             if name.endswith("prediction_test_area.tif"):
                 pred_path = os.path.join(root, name)
+    if pred_path is None:
+        raise RuntimeError(f"no *prediction_test_area.tif under "
+                           f"{run_root}/eval_out ({tag}): test.py output "
+                           f"layout changed?")
     pred_r = geo_raster.open_raster(pred_path)
     gt_r = geo_raster.open_raster(scene["paths"]["gt"])
     origin_col = int(round(
@@ -556,6 +560,10 @@ def plot(out_dir: str, results: list, png_path: str) -> None:
     }
     for r in results:
         if r["scheduler"] != "steplr" or r["tag"].endswith("smoke"):
+            continue
+        # Knob-study reruns (ema_study.py writes *_emaNNN tags into the same
+        # results dir) are not stock runs — keep them off the parity figure.
+        if "_ema" in r["tag"]:
             continue
         if r["side"] == "torch-reference":
             key = "torch reference"

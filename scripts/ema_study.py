@@ -51,8 +51,13 @@ def main() -> None:
         result = cs.run_jax(args.conv_dir, seed, args.epochs, "steplr",
                             args.precision, on_cpu=args.on_cpu, tag=tag,
                             extra_training={"ema_decay": args.decay})
+        # run_jax already wrote the result file; amend the decay key in
+        # place rather than re-running _write_result (double write + a
+        # duplicated progress line).
         result["ema_decay"] = args.decay
-        cs._write_result(args.conv_dir, f"jax_{tag}", result)
+        path = os.path.join(args.conv_dir, "results", f"jax_{tag}.json")
+        with open(path, "w") as f:
+            json.dump(result, f, indent=1)
         results.append(result)
 
     print(f"\nEMA A/B (decay {args.decay}, {args.epochs} epochs, "

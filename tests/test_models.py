@@ -1,5 +1,7 @@
 """UNet model: shapes, topology, and bit-level parity with the torch oracle."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -493,6 +495,11 @@ def test_analytic_flops_flagship():
     assert folded == 19_335_741_440
     # conv FLOPs scale ~4x with tile area (boundary-free: exact here)
     assert junet.analytic_flops(config, 512) == 4 * fwd
+    # bilinear up: fold_top_decoder is a no-op (unet.py), so composed_top
+    # must count the unfolded graph — the one actually served.
+    bilin = dataclasses.replace(config, up_mode="bilinear")
+    assert (junet.analytic_flops(bilin, 256, composed_top=True)
+            == junet.analytic_flops(bilin, 256))
 
 
 def test_analytic_flops_counts_real_graph():

@@ -76,3 +76,34 @@ def test_two_process_dp_matches_single_process(tmp_path):
                                rtol=0, atol=1e-6)
     np.testing.assert_allclose(got["leaf_sums"], ref["leaf_sums"],
                                rtol=1e-6, atol=1e-8)
+
+
+def test_env_falsy_spellings_do_not_trigger_bootstrap(monkeypatch):
+    """RESDEPTH_DISTRIBUTED=False/no/off/0 (any case, padded) must DISABLE
+    the bootstrap — a Python-style 'False' export must not fire cluster
+    auto-detection on a single host (which crashes or hangs on peers)."""
+    from resdepth_tpu.parallel import bootstrap
+
+    monkeypatch.setattr(bootstrap, "_initialized", False)
+    monkeypatch.delenv("RESDEPTH_DIST_COORDINATOR", raising=False)
+    for off in ("", "0", "false", "False", "FALSE", " no ", "off", "NO"):
+        monkeypatch.setenv("RESDEPTH_DISTRIBUTED", off)
+        assert bootstrap.maybe_initialize_distributed() is False, off
+
+
+def test_env_truthy_spellings_trigger_bootstrap(monkeypatch):
+    """Truthy spellings reach jax.distributed.initialize() (stubbed — the
+    real auto-detection needs a cluster)."""
+    import jax
+
+    from resdepth_tpu.parallel import bootstrap
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **kw: calls.append((a, kw)))
+    monkeypatch.delenv("RESDEPTH_DIST_COORDINATOR", raising=False)
+    for on in ("1", "true", "True", "yes"):
+        monkeypatch.setattr(bootstrap, "_initialized", False)
+        monkeypatch.setenv("RESDEPTH_DISTRIBUTED", on)
+        assert bootstrap.maybe_initialize_distributed() is True, on
+    assert len(calls) == 4
