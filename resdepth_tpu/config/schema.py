@@ -101,11 +101,13 @@ GENERAL_KEYS_eval = ["tile_size", "workers", "batch_size", "compute_dtype",
                                      # overlap, lib/DsmOrthoDataset.py:99-100;
                                      # larger strides trade seam blending for
                                      # up to ~4x less compute per scene)
-                     "tta"]          # opt-in dihedral test-time augmentation
+                     "tta",          # opt-in dihedral test-time augmentation
                                      # count {1,2,4,8}: average predictions
                                      # over a spatial-symmetry subgroup at
                                      # tta x model compute (infer/tiled.py;
                                      # accuracy trade in BASELINE.md)
+                     "tta_merge"]    # how tta predictions merge per tile:
+                                     # "mean" (default) | "median"
 OUTPUT_KEYS_eval = ["directory"]
 
 # ------------------------------ Valid values ---------------------------- #

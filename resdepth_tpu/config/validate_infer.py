@@ -235,6 +235,10 @@ def _valid_general_args(cfg, logger) -> bool:
             logger.error(f"Invalid argument 'tta': {general.tta} must be one "
                          f"of [1, 2, 4, 8] (dihedral subgroup sizes).\n")
             error = True
+    if "tta_merge" in general and general.tta_merge not in ("mean", "median"):
+        logger.error(f"Invalid argument 'tta_merge': {general.tta_merge} "
+                     f"must be one of ['mean', 'median'].\n")
+        error = True
     if "data_parallel" in general and not is_boolean(general.data_parallel,
                                                      "data_parallel", logger):
         error = True

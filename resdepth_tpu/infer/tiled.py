@@ -51,6 +51,9 @@ from resdepth_tpu.ops.pallas_stitch import (crop_scene, pad_scene,
 #   2 -> {identity, horizontal flip}; 4 -> the rotation subgroup; 8 -> D4.
 TTA_SUBGROUPS = {1: (0,), 2: (0, 4), 4: (0, 1, 2, 3), 8: tuple(range(8))}
 
+# How the tta predictions of one tile are merged (general.tta_merge).
+TTA_MERGES = ("mean", "median")
+
 
 def _dihedral_apply(x, g: int):
     """Apply dihedral element ``g`` to the spatial axes (1, 2) of a batched
@@ -78,7 +81,8 @@ def _pad_round_up(array, n, pad_value=0):
 
 @functools.lru_cache(maxsize=32)
 def _make_scene_fn(config: UNetConfig, spec: BatchSpec, shape, dsm_std,
-                   compute_dtype, mesh, axis_name, use_pallas, tta):
+                   compute_dtype, mesh, axis_name, use_pallas, tta,
+                   tta_merge):
     """Build (and cache) the jitted scene program.
 
     Memoised on its static configuration: a fresh closure per call would give
@@ -107,6 +111,16 @@ def _make_scene_fn(config: UNetConfig, spec: BatchSpec, shape, dsm_std,
             batch = build_batch(rasters, pos, pair, zeros_bounds, key, spec)
             if tta == 1:
                 pred = run_model(batch["input"])
+            elif tta_merge == "median":
+                # Median merge (opt-in general.tta_merge): the per-tile
+                # denorm is a monotone affine map shared by all tta replicas
+                # of a tile, so the normalised-space median commutes with it
+                # exactly like the mean does. Costs holding tta prediction
+                # maps (not activations) live for the sort.
+                pred = jnp.median(jnp.stack([
+                    _dihedral_invert(
+                        run_model(_dihedral_apply(batch["input"], g)), g)
+                    for g in TTA_SUBGROUPS[tta]]), axis=0)
             else:
                 # Test-time augmentation: average the model over a dihedral
                 # subgroup (opt-in general.tta; measured accuracy gains in
@@ -165,7 +179,7 @@ def _inference_spec(ds: TileDataset) -> BatchSpec:
 
 def _predict_tiles(config, params, bn_state, rasters, positions, pair_idx,
                    wy, wx, shape, spec, dsm_std, batch_size, mesh,
-                   compute_dtype, use_pallas, tta=1):
+                   compute_dtype, use_pallas, tta=1, tta_merge="mean"):
     """Run the jitted scan over one set of tiles into a (rows, cols) canvas.
 
     Returns the DEVICE canvas: the scan is dispatched asynchronously, so the
@@ -173,6 +187,9 @@ def _predict_tiles(config, params, bn_state, rasters, positions, pair_idx,
     if tta not in TTA_SUBGROUPS:
         raise ValueError(f"tta must be one of {sorted(TTA_SUBGROUPS)}, "
                          f"got {tta!r}")
+    if tta_merge not in TTA_MERGES:
+        raise ValueError(f"tta_merge must be one of {TTA_MERGES}, "
+                         f"got {tta_merge!r}")
     tile = spec.tile_size
     n = len(positions)
     n_dev = mesh.devices.size if mesh is not None else 1
@@ -193,7 +210,7 @@ def _predict_tiles(config, params, bn_state, rasters, positions, pair_idx,
                               compute_dtype, mesh,
                               tuple(mesh.axis_names) if mesh is not None
                               else None,
-                              use_pallas, tta)
+                              use_pallas, tta, tta_merge)
     return scene_fn(params, bn_state, rasters,
                     positions.reshape(n_steps, per_step, 2),
                     pair_idx.reshape(n_steps, per_step),
@@ -206,7 +223,7 @@ def predict_linear_blend(config: UNetConfig, params, bn_state, ds: TileDataset,
                          compute_dtype=jnp.float32,
                          rasters=None, use_pallas: bool | None = None,
                          fold_bn: bool = True, as_numpy: bool = True,
-                         tta: int = 1):
+                         tta: int = 1, tta_merge: str = "mean"):
     """Refine a whole scene; returns the blended refined DSM (rows, cols).
 
     ``ds`` must be a 'test'-strategy TileDataset (overlapping grid). Interface
@@ -233,7 +250,8 @@ def predict_linear_blend(config: UNetConfig, params, bn_state, ds: TileDataset,
 
     ``tta``: dihedral test-time augmentation count in {1, 2, 4, 8}
     (``general.tta``) — each tile is predicted under that dihedral SUBGROUP
-    of spatial symmetries and the inverse-transformed predictions averaged.
+    of spatial symmetries and the inverse-transformed predictions merged:
+    ``tta_merge`` = "mean" (default) or "median" (``general.tta_merge``).
     Costs ``tta``× model compute; accuracy trade measured in BASELINE.md.
     The reference has no analogue (its D4 augmentation is train-time only,
     lib/DsmOrthoDataset.py).
@@ -251,7 +269,7 @@ def predict_linear_blend(config: UNetConfig, params, bn_state, ds: TileDataset,
     out = _predict_tiles(config, params, bn_state, rasters, ds.positions,
                          ds.pair_indices, wy, wx, ds.dsm_input.shape,
                          _inference_spec(ds), ds.dsm_std, batch_size, mesh,
-                         compute_dtype, use_pallas, tta)
+                         compute_dtype, use_pallas, tta, tta_merge)
     return np.asarray(out) if as_numpy else out
 
 
@@ -262,7 +280,8 @@ def predict_linear_blend_streaming(config: UNetConfig, params, bn_state,
                                    compute_dtype=jnp.float32,
                                    use_pallas: bool | None = None,
                                    fold_bn: bool = True,
-                                   tta: int = 1) -> np.ndarray:
+                                   tta: int = 1,
+                                   tta_merge: str = "mean") -> np.ndarray:
     """Refine a scene too large for device memory by streaming row bands.
 
     The stitch is additive, so the tile grid can be partitioned arbitrarily:
@@ -304,7 +323,7 @@ def predict_linear_blend_streaming(config: UNetConfig, params, bn_state,
             config, params, bn_state, band_rasters, band_positions,
             ds.pair_indices[band_idx], wy_all[band_idx], wx_all[band_idx],
             (window.stop - window.start, cols), spec, ds.dsm_std, batch_size,
-            mesh, compute_dtype, use_pallas, tta)
+            mesh, compute_dtype, use_pallas, tta, tta_merge)
         out[window] += np.asarray(band_out)
 
     return out
@@ -318,7 +337,8 @@ def predict_linear_blend_scene_sharded(config: UNetConfig, params, bn_state,
                                        compute_dtype=jnp.float32,
                                        use_pallas: bool | None = None,
                                        fold_bn: bool = True,
-                                       tta: int = 1) -> np.ndarray:
+                                       tta: int = 1,
+                                       tta_merge: str = "mean") -> np.ndarray:
     """Refine a scene too large for ONE chip's HBM using the whole slice.
 
     The sequential streaming path (``predict_linear_blend_streaming``) bounds
@@ -396,7 +416,7 @@ def predict_linear_blend_scene_sharded(config: UNetConfig, params, bn_state,
                 _pad_round_up(wy_all[band_idx], n_tiles, 0.0),
                 _pad_round_up(wx_all[band_idx], n_tiles, 0.0),
                 (window_rows, cols), spec, ds.dsm_std, batch_size,
-                None, compute_dtype, use_pallas, tta)
+                None, compute_dtype, use_pallas, tta, tta_merge)
             pending.append((window, band_out))
         for window, band_out in pending:
             out[window] += np.asarray(band_out)[:window.stop - window.start]

@@ -47,7 +47,8 @@ TTA_COUNTS = (1, 2, 4, 8)
 
 # ------------------------- Mode A: conv checkpoints ------------------------ #
 
-def run_conv_mode(conv_dir: str, out_dir: str, tags: list[str]) -> None:
+def run_conv_mode(conv_dir: str, out_dir: str, tags: list[str],
+                  merge: str = "mean") -> None:
     import convergence_study as cs
     from resdepth_tpu.geo import raster as geo_raster
 
@@ -71,9 +72,12 @@ def run_conv_mode(conv_dir: str, out_dir: str, tags: list[str]) -> None:
         for tta in TTA_COUNTS:
             cfg = json.loads(json.dumps(base_cfg))
             cfg["general"]["tta"] = tta
-            eval_dir = os.path.join(out_dir, f"{tag}_tta{tta}")
+            if merge != "mean":
+                cfg["general"]["tta_merge"] = merge
+            mtag = f"{tag}_tta{tta}" + ("" if merge == "mean" else f"_{merge}")
+            eval_dir = os.path.join(out_dir, mtag)
             cfg["output"]["directory"] = eval_dir
-            cfg_path = os.path.join(out_dir, f"config_{tag}_tta{tta}.json")
+            cfg_path = os.path.join(out_dir, f"config_{mtag}.json")
             with open(cfg_path, "w") as f:
                 json.dump(cfg, f, indent=1)
             proc = subprocess.run(
@@ -87,6 +91,10 @@ def run_conv_mode(conv_dir: str, out_dir: str, tags: list[str]) -> None:
                 for name in files:
                     if name.endswith("prediction_test_area.tif"):
                         pred_path = os.path.join(root, name)
+            if pred_path is None:
+                raise RuntimeError(
+                    f"no *prediction_test_area.tif under {eval_dir} "
+                    f"({tag}, tta={tta}): test.py output layout changed?")
             pred_r = geo_raster.open_raster(pred_path)
             origin_col = int(round(
                 (pred_r.geotransform[0] - gt_r.geotransform[0]) / cs.GSD))
@@ -114,8 +122,10 @@ def run_conv_mode(conv_dir: str, out_dir: str, tags: list[str]) -> None:
         mean = np.mean(torch_maes)
         print(f"{'torch reference (mean of ' + str(len(torch_maes)) + ')':>28s}"
               f"{mean:10.4f}")
-    with open(os.path.join(out_dir, "tta_conv_results.json"), "w") as f:
-        json.dump({"initial_mae": initial, "table": table,
+    results_name = ("tta_conv_results.json" if merge == "mean"
+                    else f"tta_conv_results_{merge}.json")
+    with open(os.path.join(out_dir, results_name), "w") as f:
+        json.dump({"initial_mae": initial, "merge": merge, "table": table,
                    "torch_refined_maes": torch_maes}, f, indent=1)
 
 
@@ -221,13 +231,15 @@ def main() -> None:
     ap.add_argument("--cols", type=int, default=2048)
     ap.add_argument("--scene-seed", type=int, default=3)
     ap.add_argument("--mode", default="balanced16")
+    ap.add_argument("--merge", default="mean", choices=("mean", "median"),
+                    help="general.tta_merge for the conv-checkpoint mode")
     args = ap.parse_args()
 
     if args.state_cache:
         run_flagship_mode(args.state_cache, args.rows, args.cols,
                           args.scene_seed, args.mode)
     else:
-        run_conv_mode(args.conv_dir, args.out, args.tags)
+        run_conv_mode(args.conv_dir, args.out, args.tags, args.merge)
 
 
 if __name__ == "__main__":

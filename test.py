@@ -146,6 +146,7 @@ def main() -> None:
     use_pallas = cfg.general.get("use_pallas")  # None = auto by platform
     # Opt-in dihedral test-time augmentation (1 = off, reference parity).
     tta = int(cfg.general.get("tta", 1))
+    tta_merge = cfg.general.get("tta_merge", "mean")
     # Tile batches shard over every available chip; each device accumulates a
     # partial scene and one psum over ICI merges them (infer/tiled.py).
     mesh = None
@@ -230,13 +231,15 @@ def main() -> None:
                             model_config, params, bn_state, tile_ds,
                             max_device_pixels=MAX_DEVICE_PIXELS,
                             batch_size=batch_size, compute_dtype=compute_dtype,
-                            use_pallas=use_pallas, tta=tta)
+                            use_pallas=use_pallas, tta=tta,
+                            tta_merge=tta_merge)
                     else:
                         prediction = predict_linear_blend_streaming(
                             model_config, params, bn_state, tile_ds,
                             max_device_pixels=MAX_DEVICE_PIXELS,
                             batch_size=batch_size, compute_dtype=compute_dtype,
-                            use_pallas=use_pallas, mesh=mesh, tta=tta)
+                            use_pallas=use_pallas, mesh=mesh, tta=tta,
+                            tta_merge=tta_merge)
                 else:
                     if device_rasters is None:
                         # inference never reads the ground truth: evaluation
@@ -254,7 +257,7 @@ def main() -> None:
                         model_config, params, bn_state, tile_ds,
                         batch_size=batch_size, compute_dtype=compute_dtype,
                         rasters=pair_rasters, use_pallas=use_pallas, mesh=mesh,
-                        as_numpy=not overlap, tta=tta)
+                        as_numpy=not overlap, tta=tta, tta_merge=tta_merge)
                 pair_tag = (f" ({folder})" if image_pair is not None else "")
                 job = (prediction, tile_ds, output_directory, pair_tag)
 

@@ -460,12 +460,15 @@ def test_validate_infer_tta(make_geotiff, tmp_path):
     norm_path = str(tmp_path / "norm.json")
     io.write_json({"mean": None, "std": 1.0}, norm_path)
 
-    def check(value):
+    def check(value, merge=None):
+        general = {"tile_size": 16, "tta": value}
+        if merge is not None:
+            general["tta_merge"] = merge
         cfg = {
             "datasets": [{"raster_in": raster}],
             "model": {"weights": weights_path, "architecture": arch_path,
                       "normalization_geom": norm_path},
-            "general": {"tile_size": 16, "tta": value},
+            "general": general,
             "output": {"directory": str(tmp_path / "eval_out")},
         }
         return validate_infer.validate_and_update_cfg_file(cfg, logger).status
@@ -474,6 +477,11 @@ def test_validate_infer_tta(make_geotiff, tmp_path):
         assert check(good) is True, good
     for bad in (0, 3, 5, 6, 7, 16, -1, "all", 2.0):
         assert check(bad) is False, bad
+    # tta_merge: the per-tile merge of the tta predictions.
+    for good_merge in ("mean", "median"):
+        assert check(8, merge=good_merge) is True, good_merge
+    for bad_merge in ("mode", "max", 1, True):
+        assert check(8, merge=bad_merge) is False, bad_merge
 
 
 def test_validate_train_ema_decay(make_geotiff, tmp_path):

@@ -637,12 +637,14 @@ def test_dihedral_helpers_group_properties():
                 assert compose(a, b) in members, (count, a, b)
 
 
-def test_predict_tta_matches_host_oracle(make_geotiff):
+@pytest.mark.parametrize("merge", ["mean", "median"])
+def test_predict_tta_matches_host_oracle(make_geotiff, merge):
     """predict_linear_blend(tta=8) == a host oracle that transforms each
     normalised input tile by every dihedral element with INDEPENDENT numpy
-    rot90/flip, runs the model, inverse-transforms, averages, denormalises,
-    and blends — pinning the transform/invert/average wiring end to end on
-    multi-channel (geom-stereo) inputs."""
+    rot90/flip, runs the model, inverse-transforms, merges (numpy mean or
+    median, per general.tta_merge), denormalises, and blends — pinning the
+    transform/invert/merge wiring end to end on multi-channel (geom-stereo)
+    inputs."""
     import dataclasses as _dc
 
     from resdepth_tpu.models.unet import apply_unet
@@ -659,7 +661,7 @@ def test_predict_tta_matches_host_oracle(make_geotiff):
     params, bn_state = init_unet(jax.random.PRNGKey(1), config)
 
     out = predict_linear_blend(config, params, bn_state, ds, batch_size=3,
-                               tta=8)
+                               tta=8, tta_merge=merge)
 
     # Host oracle. Reuse the fused gather/normalise stage for input assembly
     # (its parity has its own oracle above); the dihedral machinery under
@@ -678,7 +680,7 @@ def test_predict_tta_matches_host_oracle(make_geotiff):
     x = np.asarray(batch["input"])
     means = np.asarray(batch["dsm_mean"])
 
-    preds = np.zeros(x.shape[:3], np.float32)
+    all_preds = []
     for g in range(8):
         xg = x.copy()
         if g >= 4:
@@ -690,8 +692,10 @@ def test_predict_tta_matches_host_oracle(make_geotiff):
         pg = np.rot90(pg, k=-(g % 4), axes=(1, 2))
         if g >= 4:
             pg = np.flip(pg, axis=2)
-        preds += pg
-    preds /= 8.0
+        all_preds.append(pg)
+    stacked = np.stack(all_preds)
+    preds = (np.median(stacked, axis=0) if merge == "median"
+             else stacked.mean(axis=0))
 
     expected = np.zeros_like(dsm)
     t = ds.tile_size
