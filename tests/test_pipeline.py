@@ -287,11 +287,13 @@ def test_pallas_stitch_matches_xla_interpret():
                                rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("stride", [None, 12])
-def test_streaming_inference_matches_full(make_geotiff, stride):
+@pytest.mark.parametrize("stride,tta", [(None, 1), (12, 1), (None, 4)])
+def test_streaming_inference_matches_full(make_geotiff, stride, tta):
     """Band-streamed inference is identical to the HBM-resident path —
     including under a custom tile_stride (the bands split the dataset's
-    global grid, so the stride must flow through unchanged)."""
+    global grid, so the stride must flow through unchanged) and under TTA
+    (the merge is per tile, upstream of the additive stitch the band
+    partition relies on)."""
     from resdepth_tpu.infer import predict_linear_blend_streaming
 
     paths, dsm, _, images = _scene(make_geotiff, rows=96, cols=64)
@@ -305,16 +307,19 @@ def test_streaming_inference_matches_full(make_geotiff, stride):
                         depth=2)
     params, bn = init_unet(jax.random.PRNGKey(0), config)
 
-    full = predict_linear_blend(config, params, bn, ds, batch_size=4)
+    full = predict_linear_blend(config, params, bn, ds, batch_size=4, tta=tta)
     # budget forcing ~3 bands: 32 rows x 64 cols x 4 rasters
     streamed = predict_linear_blend_streaming(
         config, params, bn, ds, batch_size=4,
-        max_device_pixels=32 * 64 * 4)
+        max_device_pixels=32 * 64 * 4, tta=tta)
     np.testing.assert_allclose(streamed, full, rtol=1e-5, atol=1e-4)
 
 
-@pytest.mark.parametrize("rows_budget_px", [32 * 64 * 4, 16 * 64 * 4])
-def test_scene_sharded_inference_matches_full(make_geotiff, rows_budget_px):
+@pytest.mark.parametrize("rows_budget_px,tta", [(32 * 64 * 4, 1),
+                                                (16 * 64 * 4, 1),
+                                                (32 * 64 * 4, 4)])
+def test_scene_sharded_inference_matches_full(make_geotiff, rows_budget_px,
+                                              tta):
     """Scene-sharded inference (row bands committed to DIFFERENT devices,
     dispatched concurrently, host overlap-add) is identical to the resident
     single-device path — including when bands outnumber devices (waves) and
@@ -332,12 +337,12 @@ def test_scene_sharded_inference_matches_full(make_geotiff, rows_budget_px):
                         depth=2)
     params, bn = init_unet(jax.random.PRNGKey(0), config)
 
-    full = predict_linear_blend(config, params, bn, ds, batch_size=4)
+    full = predict_linear_blend(config, params, bn, ds, batch_size=4, tta=tta)
     devices = jax.devices()
     assert len(devices) >= 2  # conftest forces the 8-device CPU mesh
     sharded = predict_linear_blend_scene_sharded(
         config, params, bn, ds, batch_size=4,
-        max_device_pixels=rows_budget_px, devices=devices)
+        max_device_pixels=rows_budget_px, devices=devices, tta=tta)
     np.testing.assert_allclose(sharded, full, rtol=1e-5, atol=1e-4)
 
 
