@@ -432,7 +432,25 @@ def _sections_well_typed(cfg_user, logger) -> bool:
     scalar where a section is expected would otherwise surface as a raw
     AttributeError deep inside a section check (the reference crashes with a
     TypeError on the same inputs) instead of the clean ERROR-line contract
-    the CLIs promise."""
+    the CLIs promise.
+
+    Two parity carve-outs (differential-fuzz-found; the reference ACCEPTS
+    these, so rejecting them would diverge on valid-to-the-reference input):
+    a section the input mode ignores is never inspected by the reference
+    (warn+ignore, lib/validate_cfg_training.py:551,593), so its type cannot
+    fail there; and an EMPTY container passes the reference's key iteration
+    vacuously (all_keys_known over nothing). Non-empty non-dict values for
+    the inspected sections still fail cleanly here — the reference crashes
+    on those, which the CLI contract forbids."""
+    model = cfg_user.get("model", {})
+    channels = (_input_channels(cfg_user) if isinstance(model, dict)
+                else default_cfg().model.input_channels)
+    mode_ignored = set()
+    if channels != "geom-multiview":
+        mode_ignored.add("multiview")
+    if channels in ("geom", "geom-mono"):
+        mode_ignored.add("stereopair_settings")
+
     ok = True
     for key, value in cfg_user.items():
         if key == "datasets":
@@ -442,6 +460,11 @@ def _sections_well_typed(cfg_user, logger) -> bool:
                              f"objects, got {value!r}.\n")
                 ok = False
         elif not isinstance(value, dict):
+            if key in mode_ignored:
+                continue  # never inspected for this input mode (see above)
+            if key in ("multiview", "stereopair_settings") and \
+                    hasattr(value, "__len__") and len(value) == 0:
+                continue  # vacuously valid under the reference's iteration
             logger.error(f"Invalid section '{key}': expected an object, "
                          f"got {value!r}.\n")
             ok = False

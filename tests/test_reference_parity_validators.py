@@ -219,6 +219,12 @@ TRAIN_CASES = [
     ("zero_evaluate_rate", _set("general.evaluate_rate", 0), None),
     ("output_directory_not_string",
      _set("output.output_directory", 12), None),
+    # fuzz-found round 3: a NON-DICT mode-ignored section is never inspected
+    # by the reference (warn+ignore) and an EMPTY container is vacuously
+    # valid under its key iteration — both now agreed (validate_train.py
+    # _sections_well_typed carve-outs)
+    ("multiview_scalar_ignored_when_stereo", _set("multiview", 1), None),
+    ("stereopair_empty_list_vacuous", _set("stereopair_settings", []), None),
     # ---- pinned divergences (documented in docs/PARITY.md) ----
     # vestigial worker pool: the reference rejects workers > cpu_count
     ("workers_over_cpu_count",
@@ -383,3 +389,78 @@ def test_inference_validator_verdicts_match(ref_validators, infer_base,
         assert verdicts == expected, (
             f"pinned divergence '{name}' drifted: "
             f"expected {expected}, got {verdicts}")
+
+
+# ------------------ seeded differential fuzz (CI-sized) ------------------ #
+
+# Reference-space key paths the fuzz mutates. The divergence-prone paths
+# whose deliberate (ref, ours) splits are pinned above — general.workers,
+# optimizer.weight_decay, output.tboard_log_dir, scheduler.enabled — are
+# EXCLUDED so every fuzz case must agree exactly.
+FUZZ_PATHS = [
+    "datasets.0.raster_in", "datasets.0.raster_gt",
+    "datasets.0.path_image_list", "datasets.0.path_pairlist_training",
+    "datasets.0.path_pairlist_validation", "datasets.0.area_type",
+    "datasets.0.n_training_samples", "datasets.0.allocation_strategy",
+    "datasets.0.test_stripe", "datasets.0.crossval_training",
+    "model.input_channels", "model.name", "model.depth", "model.start_kernel",
+    "model.act_fn_encoder", "model.act_fn_decoder", "model.up_mode",
+    "model.do_BN", "model.outer_skip", "model.outer_skip_BN",
+    "training_settings.tile_size", "training_settings.batch_size",
+    "training_settings.n_epochs", "training_settings.n_training_samples",
+    "training_settings.loss", "training_settings.augment",
+    "optimizer.name", "optimizer.learning_rate",
+    "scheduler.name", "scheduler.settings",
+    "general.random_seed", "general.save_model_rate",
+    "general.evaluate_rate", "general.test_stripe",
+    "general.allocation_strategy",
+    "output.output_directory",
+    "multiview", "stereopair_settings",
+]
+
+FUZZ_VALUES = [None, True, False, 0, 1, -1, 7, 100, 0.5, -2e-4, "", "noise",
+               "/no/such.file", [], [1, 2], {}, {"x": 1}]
+
+
+def _apply_fuzz_ops(cfg, rng):
+    """1-2 random set/drop ops over FUZZ_PATHS; ops whose parent was removed
+    by an earlier op in the same case are skipped (deterministic either way
+    under the fixed per-case seed)."""
+    applied = []
+    for _ in range(int(rng.integers(1, 3))):
+        path = FUZZ_PATHS[int(rng.integers(len(FUZZ_PATHS)))]
+        drop = rng.random() < 0.25
+        value = copy.deepcopy(FUZZ_VALUES[int(rng.integers(len(FUZZ_VALUES)))])
+        try:
+            (_drop(path) if drop else _set(path, value))(cfg)
+        except (KeyError, IndexError, TypeError):
+            continue
+        applied.append((path, "drop" if drop else f"set={value!r}"))
+    return applied
+
+
+@pytest.mark.parametrize("case", range(64))
+def test_training_validator_fuzz_verdicts_match(ref_validators, train_base,
+                                                case):
+    """Seeded, CI-sized port of the round-2 1800-config differential fuzz
+    sweep (docs/ROUND2.md): random mutations of the base training config
+    over the reference key space must draw the same accept/reject verdict
+    from both validators. Deterministic (fixed per-case seed). Mutations
+    that CRASH the reference validator are skipped — the clean-ERROR
+    contract is this framework's (our side must never raise; an exception
+    from ours fails the test), the reference makes no such promise
+    (/root/reference/lib/validate_cfg_training.py)."""
+    from resdepth_tpu.config import validate_train
+
+    rng = np.random.default_rng(20260819 + case)
+    cfg = copy.deepcopy(train_base)
+    applied = _apply_fuzz_ops(cfg, rng)
+
+    ours = validate_train.validate_cfg_file(
+        copy.deepcopy(cfg), _quiet_logger(f"our_fuzz{case}"))
+    try:
+        ref = ref_validators.training.validate_cfg_file(
+            copy.deepcopy(cfg), _quiet_logger(f"ref_fuzz{case}"))
+    except Exception:
+        pytest.skip(f"reference validator crashed on {applied}")
+    assert ours == ref, f"verdict divergence on mutations {applied}"
