@@ -117,7 +117,10 @@ def _valid_dataset_args(cfg, input_config, logger) -> bool:
                 elif not fs.file_exists(dataset[key]):
                     logger.error(f"Cannot find:\n{dataset[key]}\n")
                     error = True
-            if "path_image_list" in dataset and fs.file_exists(dataset.get("path_image_list", "")):
+            # isinstance guard: a non-string value was already reported
+            # above; os.path.isfile would raise on it (fuzz-found).
+            if isinstance(dataset.get("path_image_list"), str) and \
+                    fs.file_exists(dataset["path_image_list"]):
                 from resdepth_tpu.data import control_files
                 for path in control_files.read_imagelist_from_file(dataset.path_image_list):
                     if not fs.file_exists(path):

@@ -464,3 +464,54 @@ def test_training_validator_fuzz_verdicts_match(ref_validators, train_base,
     except Exception:
         pytest.skip(f"reference validator crashed on {applied}")
     assert ours == ref, f"verdict divergence on mutations {applied}"
+
+
+# Reference-space eval key paths (our TPU extension keys — tta, tta_merge,
+# compute_dtype, … — are deliberately NOT fuzzed: the reference rejects any
+# unknown key, so extension keys diverge by design and are covered by
+# test_config.py instead). general.workers and general.allocation_strategy
+# carry pinned divergences (above) and are excluded the same way.
+INFER_FUZZ_PATHS = [
+    "datasets.0.raster_in", "datasets.0.raster_gt",
+    "datasets.0.mask_ground_truth", "datasets.0.mask_building",
+    "datasets.0.path_image_list", "datasets.0.path_pairlist",
+    "datasets.0.allocation_strategy", "datasets.0.test_stripe",
+    "datasets.0.area_type",
+    "model.architecture", "model.normalization_geom",
+    "model.normalization_image",
+    "general.tile_size",
+    "output.directory",
+]
+
+
+@pytest.mark.parametrize("case", range(48))
+def test_inference_validator_fuzz_verdicts_match(ref_validators, infer_base,
+                                                 case):
+    """Seeded differential fuzz over the inference validator (same contract
+    as the training fuzz above): random mutations over the reference eval
+    key space must draw the same verdict from both validators; mutations
+    that crash the reference are skipped, ours must never raise."""
+    from resdepth_tpu.config import validate_infer
+
+    rng = np.random.default_rng(30260819 + case)
+    cfg = copy.deepcopy(infer_base)
+    applied = []
+    for _ in range(int(rng.integers(1, 3))):
+        path = INFER_FUZZ_PATHS[int(rng.integers(len(INFER_FUZZ_PATHS)))]
+        drop = rng.random() < 0.25
+        value = copy.deepcopy(FUZZ_VALUES[int(rng.integers(len(FUZZ_VALUES)))])
+        try:
+            (_drop(path) if drop else _set(path, value))(cfg)
+        except (KeyError, IndexError, TypeError):
+            continue
+        applied.append((path, "drop" if drop else f"set={value!r}"))
+
+    our_result = validate_infer.validate_and_update_cfg_file(
+        copy.deepcopy(cfg), _quiet_logger(f"ouri_fuzz{case}"))
+    try:
+        ref_result = ref_validators.inference.validate_and_update_cfg_file(
+            copy.deepcopy(cfg), _quiet_logger(f"refi_fuzz{case}"))
+    except Exception:
+        pytest.skip(f"reference validator crashed on {applied}")
+    assert bool(our_result.status) == bool(ref_result.status), \
+        f"verdict divergence on mutations {applied}"
