@@ -18,9 +18,10 @@ tile/depth constraint); 6/6 cases on the real chip (--tpu) BEFORE the
 round-2 widening of the sampled space (tile 32 / depth 3,
 balanced/balanced16 train precisions, eval tile_stride). The round-3
 widening (weight EMA, dihedral TTA) was validated with a 12/12 CPU-mesh
-sweep (EMA sampled, TTA left at 1 by the draw) plus an 8/8 CPU-mesh sweep
-at seed 11 that exercised TTA 2/4 and EMA (TTA 8 is pinned separately by
-the unit suite and the chip-side TTA study in BASELINE.md).
+sweep (EMA sampled, TTA left at 1 by the draw), an 8/8 CPU-mesh sweep at
+seed 11 exercising TTA 2/4 and EMA, and a 4/4 chip sweep (--tpu, seed 23)
+exercising ema=0.99 with tta=4 and tta=2 on the hardware (TTA 8 is pinned
+separately by the unit suite and the chip-side TTA study in BASELINE.md).
 """
 import json
 import os
