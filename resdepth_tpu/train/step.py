@@ -145,7 +145,15 @@ def make_train_step(config: UNetConfig, spec: BatchSpec, tx, mesh=None,
     the weights inside the fused step (``state.ema_params``; requires a
     state built with ``init_train_state(..., ema=True)``). The EMA is the
     model validation/checkpoints serve; ``params`` remains the raw Adam/SGD
-    iterate so training dynamics are unchanged.
+    iterate, so the PER-STEP update is unchanged (the EMA never feeds back
+    into the gradient or optimizer). One deliberate exception at the epoch
+    level: because Trainer.validate scores the SERVED weights, a
+    ReduceLROnPlateau scheduler is driven by the EMA val loss when the EMA
+    is on — LR reacts to the model actually being selected/served, so the
+    LR (and hence raw-iterate) trajectory may differ from an EMA-off run
+    under that scheduler (tested in test_train.py::
+    test_ema_plateau_scheduler_follows_served_val_loss). StepLR/
+    ExponentialLR are val-loss-independent and keep trajectories identical.
 
     ``steps_per_call > 1`` runs that many optimizer steps inside ONE jitted
     program via ``lax.scan`` (batch arrays gain a leading steps dimension and

@@ -130,3 +130,52 @@ def test_epoch_chunks_full_in_multi_region_configs(tmp_path):
                          train_step_multi=object())
     assert [c for _, c in trainer_b._epoch_chunks(loaders)] == \
         [c for _, c in chunks]
+
+
+def test_ema_plateau_scheduler_follows_served_val_loss(tmp_path):
+    """Under training_settings.ema_decay, Trainer.validate scores the SERVED
+    (EMA) weights and that loss drives ReduceLROnPlateau — by design: LR
+    reacts to the model actually being selected/checkpointed. This is the
+    one deliberate epoch-level EMA side channel (the per-step optimizer
+    update itself never sees the EMA; test_train.py::
+    test_ema_matches_manual_recurrence_and_is_passive)."""
+    import jax
+    import jax.numpy as jnp
+
+    from resdepth_tpu.train.optim import build_optimizer
+    from resdepth_tpu.train.schedulers import ReduceLROnPlateau
+    from resdepth_tpu.train.step import init_train_state
+
+    params = {"w": jnp.zeros((2,), jnp.float32)}
+    bn = {}
+    tx = build_optimizer("Adam", 0.0)
+    state = init_train_state(params, bn, tx, 1e-2, ema=True)
+    # force EMA weights != raw iterate so the two candidate val losses differ
+    state = state.replace(ema_params={"w": jnp.ones((2,), jnp.float32)})
+    assert state.serve_params is state.ema_params
+
+    # fake eval: loss = 2 * mean(w)  -> 0.0 on raw params, 2.0 on the EMA
+    def eval_step(p, bn_state, rasters, positions, pair_idx, bounds,
+                  weights, key):
+        loss = 2.0 * jnp.mean(p["w"])
+        return loss, jnp.float32(1.0)
+
+    seen = []
+
+    class SpyPlateau(ReduceLROnPlateau):
+        def step(self, metric=None):
+            seen.append(float(metric))
+            return super().step(metric)
+
+    # patience 0: every non-improving epoch reduces immediately
+    scheduler = SpyPlateau(initial_lr=1e-2, factor=0.5, patience=0)
+    val_loaders = [(None, [(None, None, None, None)])]
+    trainer = _trainer(tmp_path, state=state, eval_step=eval_step,
+                       val_loaders=val_loaders, scheduler=scheduler,
+                       n_epochs=3, evaluate_rate=1)
+    trainer.train()
+
+    # the scheduler saw the EMA val loss, never the raw-iterate loss
+    assert seen == [pytest.approx(2.0)] * 3
+    # epoch 0 sets best=2.0; epochs 1,2 are non-improving -> two reductions
+    assert float(trainer.state.lr) == pytest.approx(1e-2 * 0.25)
