@@ -80,6 +80,11 @@ TPU_KEYS = [
                             # activations; gradient-identical)
     "profile_dir",          # jax.profiler trace output directory ('' = off)
     "donate_state",         # donate train-state buffers in the jitted step
+    "max_device_pixels",    # per-device resident raster pixel budget:
+                            # regions over it train via banded residency
+                            # (data/banded.py; one band window in HBM at a
+                            # time, rasters stay in host RAM). 0/absent =
+                            # fully resident. Sizing: docs/SCALING.md.
 ]
 
 # ------------------------------- Inference ------------------------------ #

@@ -407,6 +407,23 @@ def _valid_tpu_args(cfg_user, logger) -> bool:
     if "dcn_slices" in tpu and not is_positive_integer(
             tpu.dcn_slices, "dcn_slices", logger):
         error = True
+    if "max_device_pixels" in tpu and tpu.max_device_pixels != 0:
+        if not is_positive_integer(tpu.max_device_pixels,
+                                   "max_device_pixels", logger):
+            error = True
+        else:
+            # Config-time feasibility floor: a band window must hold at
+            # least one tile row-span of the two DSM planes (the per-region
+            # check with the real raster width runs before training and
+            # errors with the exact required budget — train.py).
+            tile = cfg_user.get("training_settings", {}).get("tile_size", 256)
+            if isinstance(tile, int) and tpu.max_device_pixels < 2 * tile * tile:
+                logger.error(
+                    f"'max_device_pixels' ({tpu.max_device_pixels}) is below "
+                    f"a single {tile}-px tile window of the DSM input+target "
+                    f"planes ({2 * tile * tile}); no band can fit. Raise it "
+                    "or reduce training_settings.tile_size.\n")
+                error = True
     for key in ("mesh_axis", "profile_dir"):
         if key in tpu and not is_string(tpu[key], key, logger):
             error = True

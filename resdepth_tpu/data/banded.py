@@ -1,0 +1,233 @@
+"""Banded training residency: train on regions larger than one chip's HBM.
+
+The resident pipeline (data/pipeline.py::device_put_dataset) places a
+region's FULL rasters in device memory — capping trainable region size at
+one device's HBM, a capability regression vs the reference, which trains on
+anything that fits host RAM (/root/reference/lib/DsmOrthoDataset.py:293-314,
+README.md:268). This module is the training analogue of the streaming
+inference bands (infer/tiled.py::predict_linear_blend_streaming):
+
+  * the full rasters stay in HOST RAM (exactly the reference's residency),
+  * the epoch's sample positions — fixed at dataset construction, like the
+    reference's `_determine_patches` — are grouped into horizontal bands
+    whose raster windows fit ``tpu.max_device_pixels``,
+  * one band window is device-resident at a time; the trainer visits each
+    band's batches contiguously (band order reshuffled per epoch, samples
+    shuffled within band), so an epoch costs ``n_bands`` host→device window
+    uploads instead of holding the whole scene.
+
+Every band window is padded to one COMMON height (the max over bands) so
+all bands share a single compiled train step; pad rows are never gathered
+(rebased tile positions stay inside each band's true window).
+
+Semantics: sample positions, pair assignments, masks and normalization are
+bitwise those of the resident path — banding only changes the epoch's batch
+GROUPING (samples batch within their band, one extra shuffle level), the
+standard block-shuffled-SGD reordering. ``band_resident=False`` builds the
+equivalence twin: the identical loader structure and batch order with the
+full scene resident and positions left global — training both paths with
+the same seeds must produce the same trajectory (tests/test_banded.py).
+
+Device-memory bound: steady state holds ONE window per source; at a band
+transition the next window's upload overlaps the previous band's in-flight
+steps (dispatch is async, host run-ahead is bounded by the trainer's
+metric materialisation every ``freq_average_train_loss`` steps), so budget
+``tpu.max_device_pixels`` at no more than HALF the HBM you can spare for
+rasters (docs/SCALING.md).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from resdepth_tpu.data.pipeline import (BatchIndexIterator, DeviceRasters,
+                                        device_put_dataset)
+
+
+def iter_bands(positions: np.ndarray, tile: int, rows_budget: int):
+    """Partition samples into horizontal bands of <= rows_budget raster rows.
+
+    Yields ``(window, band_idx, band_positions)``: the band's raster row
+    slice, the indices of its samples, and their positions rebased to the
+    window. Samples are assigned to the band containing their top row, so
+    adjacent bands' windows overlap by < tile rows. Shared by streaming
+    inference (where the overlap-added band canvases reproduce the full
+    stitch exactly — infer/tiled.py) and banded training residency.
+    """
+    order = np.argsort(positions[:, 0], kind="stable")
+    start = 0
+    n = len(order)
+    while start < n:
+        band_y0 = int(positions[order[start], 0])
+        end = start
+        max_uly = band_y0
+        while end < n:
+            uly = int(positions[order[end], 0])
+            if uly + tile - band_y0 > rows_budget and end > start:
+                break
+            max_uly = max(max_uly, uly)
+            end += 1
+        window_rows = max_uly + tile - band_y0
+        band_idx = order[start:end]
+        band_positions = positions[band_idx].copy()
+        band_positions[:, 0] -= band_y0
+        yield slice(band_y0, band_y0 + window_rows), band_idx, band_positions
+        start = end
+
+
+def resident_pixels(ds, include_target: bool = True) -> int:
+    """Raster pixels device_put_dataset would make device-resident."""
+    rows, cols = ds.dsm_input.shape
+    planes = 1
+    if include_target and ds.dsm_target is not None:
+        planes += 1
+    if ds.orthos is not None:
+        planes += ds.orthos.shape[2]
+    return planes * rows * cols
+
+
+def rows_budget_for(ds, max_device_pixels: int,
+                    include_target: bool = True) -> int:
+    """Window rows affordable under the pixel budget; actionable on failure."""
+    rows, cols = ds.dsm_input.shape
+    planes = resident_pixels(ds, include_target) // (rows * cols)
+    budget = int(max_device_pixels // (cols * planes))
+    if budget < ds.tile_size:
+        raise ValueError(
+            f"tpu.max_device_pixels {max_device_pixels:,} cannot fit a "
+            f"single {ds.tile_size}-row band window of this region "
+            f"({cols} cols x {planes} raster planes needs at least "
+            f"{cols * planes * ds.tile_size:,} pixels). Raise "
+            f"tpu.max_device_pixels or reduce training_settings.tile_size.")
+    return budget
+
+
+@dataclasses.dataclass
+class _BandView:
+    """Duck-typed sample view for BatchIndexIterator (one band's samples)."""
+    positions: np.ndarray
+    pair_indices: np.ndarray
+    valid_bounds: np.ndarray | None
+
+    def __len__(self) -> int:
+        return len(self.positions)
+
+
+class BandedRasterSource:
+    """Host-resident rasters; one band window device-resident at a time."""
+
+    def __init__(self, ds, window_rows: int, include_target: bool = True):
+        import jax.numpy as jnp
+        self._dsm_input = ds.dsm_input
+        self._dsm_target = (ds.dsm_target
+                            if include_target and ds.dsm_target is not None
+                            else None)
+        self._orthos = ds.orthos
+        self._pairs = jnp.asarray(ds.pairs_array)
+        self._nodata = float(ds.nodata)
+        self.window_rows = int(window_rows)
+        self._key = None
+        self._resident = None
+        self.uploads = 0  # observability: host->device window transfers
+
+    def _cut(self, arr, y0, pad_value):
+        w = arr[y0:y0 + self.window_rows]
+        if w.shape[0] < self.window_rows:
+            # Common window height across bands => one compiled train step.
+            # Pad rows are never gathered: rebased positions stay inside the
+            # band's true window by construction (iter_bands).
+            pad = [(0, self.window_rows - w.shape[0])] + [(0, 0)] * (w.ndim - 1)
+            w = np.pad(w, pad, constant_values=pad_value)
+        return w
+
+    def window(self, y0: int) -> DeviceRasters:
+        import jax.numpy as jnp
+        if self._key != y0:
+            self.release()  # drop the previous window's host reference first
+            self._resident = DeviceRasters(
+                dsm_input=jnp.asarray(self._cut(self._dsm_input, y0,
+                                                self._nodata)),
+                dsm_target=(jnp.asarray(self._cut(self._dsm_target, y0,
+                                                  self._nodata))
+                            if self._dsm_target is not None else None),
+                orthos=(jnp.asarray(self._cut(self._orthos, y0, 0.0)
+                                    .transpose(2, 0, 1))
+                        if self._orthos is not None else None),
+                pairs=self._pairs,
+                nodata=jnp.asarray(self._nodata, jnp.float32))
+            self._key = y0
+            self.uploads += 1
+        return self._resident
+
+    def release(self) -> None:
+        self._resident = None
+        self._key = None
+
+
+class BandWindow:
+    """Loader element 0 for one band; Trainer resolves it per chunk."""
+
+    def __init__(self, source: BandedRasterSource, y0: int):
+        self.source = source
+        self.y0 = y0
+
+    def resolve(self) -> DeviceRasters:
+        return self.source.window(self.y0)
+
+    def release(self) -> None:
+        self.source.release()
+
+
+class FullResident:
+    """Equivalence twin of BandWindow: resolves to the full resident scene."""
+
+    def __init__(self, rasters: DeviceRasters):
+        self._rasters = rasters
+
+    def resolve(self) -> DeviceRasters:
+        return self._rasters
+
+    def release(self) -> None:
+        pass
+
+
+def make_banded_loaders(ds, batch_size: int, *, max_device_pixels: int,
+                        seed: int, emit_size: int | None = None,
+                        shuffle: bool = True, band_resident: bool = True,
+                        include_target: bool = True):
+    """Split one region into per-band ``(provider, iterator)`` sub-loaders.
+
+    Each band's iterator is seeded deterministically from ``(seed, band)``;
+    band tails are zero-weight-padded like any partial batch (the trainer
+    must therefore run with weighted BN statistics). ``band_resident=False``
+    builds the trajectory-equivalence twin: identical bands, seeds and batch
+    order, but every provider resolves to the FULL resident scene and
+    positions stay global.
+    """
+    rows_budget = rows_budget_for(ds, max_device_pixels, include_target)
+    bands = list(iter_bands(ds.positions, ds.tile_size, rows_budget))
+    window_rows = max(w.stop - w.start for w, _, _ in bands)
+
+    if band_resident:
+        source = BandedRasterSource(ds, window_rows, include_target)
+        full = None
+    else:
+        source = None
+        full = device_put_dataset(ds, include_target=include_target)
+
+    loaders = []
+    for j, (window, band_idx, band_positions) in enumerate(bands):
+        view = _BandView(
+            positions=(band_positions if band_resident
+                       else ds.positions[band_idx]),
+            pair_indices=ds.pair_indices[band_idx],
+            valid_bounds=(ds.valid_bounds[band_idx]
+                          if ds.valid_bounds is not None else None))
+        iterator = BatchIndexIterator(view, batch_size, shuffle=shuffle,
+                                      seed=(seed, j), emit_size=emit_size)
+        provider = (BandWindow(source, window.start) if band_resident
+                    else FullResident(full))
+        loaders.append((provider, iterator))
+    return loaders

@@ -190,6 +190,11 @@ def _predict_tiles(config, params, bn_state, rasters, positions, pair_idx,
     if tta_merge not in TTA_MERGES:
         raise ValueError(f"tta_merge must be one of {TTA_MERGES}, "
                          f"got {tta_merge!r}")
+    if tta == 1:
+        # Merge mode is a no-op over a single prediction, but it keys the
+        # lru_cache'd jitted scene program — normalize so tta=1 + any merge
+        # reuses one compiled program instead of recompiling an identical one.
+        tta_merge = "mean"
     tile = spec.tile_size
     n = len(positions)
     n_dev = mesh.devices.size if mesh is not None else 1
@@ -426,29 +431,10 @@ def predict_linear_blend_scene_sharded(config: UNetConfig, params, bn_state,
 def _iter_bands(ds: TileDataset, rows_budget: int):
     """Partition the tile grid into horizontal bands of <= rows_budget rows.
 
-    Yields ``(window, band_idx, band_positions)``: the band's raster row
-    slice, the indices of its tiles, and their positions rebased to the
-    window. Tiles are assigned to the band containing their top row, so
+    Delegates to data/banded.py::iter_bands (shared with banded TRAINING
+    residency). Tiles are assigned to the band containing their top row, so
     windows of adjacent bands overlap by < tile rows and the bands'
     overlap-added canvases reproduce the full stitch exactly.
     """
-    tile = ds.tile_size
-    order = np.argsort(ds.positions[:, 0], kind="stable")
-    start = 0
-    n = len(order)
-    while start < n:
-        band_y0 = int(ds.positions[order[start], 0])
-        end = start
-        max_uly = band_y0
-        while end < n:
-            uly = int(ds.positions[order[end], 0])
-            if uly + tile - band_y0 > rows_budget and end > start:
-                break
-            max_uly = max(max_uly, uly)
-            end += 1
-        window_rows = max_uly + tile - band_y0
-        band_idx = order[start:end]
-        band_positions = ds.positions[band_idx].copy()
-        band_positions[:, 0] -= band_y0
-        yield slice(band_y0, band_y0 + window_rows), band_idx, band_positions
-        start = end
+    from resdepth_tpu.data.banded import iter_bands
+    yield from iter_bands(ds.positions, ds.tile_size, rows_budget)

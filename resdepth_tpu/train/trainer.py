@@ -52,7 +52,8 @@ class Trainer:
                  log_file: str | None = None, tboard_log_dir: str | None = None,
                  metrics_jsonl: str | None = None, hparams: dict | None = None,
                  rng_seed: int = 0, logger: logging.Logger | None = None,
-                 profile_dir: str | None = None):
+                 profile_dir: str | None = None,
+                 group_chunks_by_loader: bool = False):
         """
         ``train_loaders`` / ``val_loaders``: lists of
         ``(DeviceRasters, BatchIndexIterator)`` pairs, one per dataset region
@@ -72,6 +73,7 @@ class Trainer:
         self.evaluate_rate = evaluate_rate
         self.save_model_rate = save_model_rate
         self.freq_average_train_loss = freq_average_train_loss
+        self.group_chunks_by_loader = group_chunks_by_loader
 
         fs.make_dir(checkpoint_dir)
         self.checkpoint_dir = checkpoint_dir
@@ -167,15 +169,39 @@ class Trainer:
         silently never run. Returns ``(loader_id, [batch, ...])`` pairs with
         chunk length ``steps_per_call`` (dispatched as one scanned program)
         or shorter tails (dispatched per-batch).
+
+        ``group_chunks_by_loader`` keeps each loader's chunks CONTIGUOUS
+        (loader order and within-loader chunk order both reshuffled per
+        epoch) — required under banded residency (data/banded.py), where
+        each loader is one band window and interleaving would thrash the
+        host->device window swaps.
         """
         k = self.steps_per_call
-        chunks = []
+        per_loader = []
         for loader_id, (rasters, iterator) in enumerate(loaders):
             batches = list(iterator)
-            chunks.extend((loader_id, batches[i:i + k])
-                          for i in range(0, len(batches), k))
+            per_loader.append([(loader_id, batches[i:i + k])
+                               for i in range(0, len(batches), k)])
+        if self.group_chunks_by_loader:
+            for chunks in per_loader:
+                self.epoch_rng.shuffle(chunks)
+            self.epoch_rng.shuffle(per_loader)
+            return [c for chunks in per_loader for c in chunks]
+        chunks = [c for loader_chunks in per_loader for c in loader_chunks]
         self.epoch_rng.shuffle(chunks)
         return chunks
+
+    @staticmethod
+    def _resolve_rasters(obj):
+        """Loader element 0 is DeviceRasters or a lazy provider (banded
+        residency's BandWindow / the FullResident twin — data/banded.py)."""
+        return obj.resolve() if hasattr(obj, "resolve") else obj
+
+    @staticmethod
+    def _release_rasters(loaders):
+        for provider, _ in loaders:
+            if hasattr(provider, "release"):
+                provider.release()
 
     def train_one_epoch(self, epoch: int) -> AverageMeter:
         meter = AverageMeter()
@@ -186,7 +212,7 @@ class Trainer:
         c_iter = -1
 
         for loader_id, chunk in chunks:
-            rasters = self.train_loaders[loader_id][0]
+            rasters = self._resolve_rasters(self.train_loaders[loader_id][0])
             if len(chunk) == self.steps_per_call and self.train_step_multi is not None \
                     and self.steps_per_call > 1:
                 stacked = [np.stack(arrays) for arrays in zip(*chunk)]
@@ -227,9 +253,13 @@ class Trainer:
         meter = AverageMeter()
         key = jax.random.PRNGKey(0)  # eval path consumes no randomness
         pending = []
+        # Banded residency: drop the training band window before the val
+        # windows come up so the budget is not held twice across the
+        # train->val boundary (no-op for resident DeviceRasters loaders).
+        self._release_rasters(self.train_loaders)
         for loader_id, batch in self._epoch_batches(self.val_loaders,
                                                     shuffle_order=False):
-            rasters = self.val_loaders[loader_id][0]
+            rasters = self._resolve_rasters(self.val_loaders[loader_id][0])
             positions, pair_idx, bounds, weights = batch
             # serve_params: the EMA weights under training_settings.ema_decay
             # (the model checkpoints/serving use), else the raw iterate.
@@ -243,6 +273,9 @@ class Trainer:
                 if den > 0:
                     meter.update(float(num) / float(den))
         loss = meter.avg if meter.count else math.inf
+        # Symmetric to the entry release: the val band window is only needed
+        # during validation (the scores above are materialised already).
+        self._release_rasters(self.val_loaders)
         self.writer.add_scalar("val/MAE_metric", loss, epoch)
         self.writer.add_scalar("val/learning_rate", self._lr(), epoch)
         self.logger.info(f"\nval:\tEpoch: {epoch}\t\tMAE_metric: {loss:.6f}\n")
@@ -312,3 +345,5 @@ class Trainer:
         self.writer.close()
         self._save(self.path_model_last, epoch)
         self._checkpointer.wait()  # Model_last must exist when train() returns
+        self._release_rasters(self.train_loaders)
+        self._release_rasters(self.val_loaders)

@@ -772,3 +772,61 @@ def test_infer_tta_cli(make_geotiff, tmp_path, monkeypatch):
     assert pred_tta4.shape == pred_tta1.shape
     assert np.isfinite(pred_tta4).all()
     assert np.abs(pred_tta4 - pred_tta1).max() > 0
+
+
+def test_train_banded_residency_cli(make_geotiff, tmp_path, monkeypatch):
+    """tpu.max_device_pixels on a scene exceeding the budget: training runs
+    via banded residency (data/banded.py) end to end through the CLI, with
+    the engagement logged, and an infeasible budget exits 1 with an
+    actionable error (VERDICT r3 item 2)."""
+    paths, dsm, gt = _write_scene(make_geotiff, tmp_path, rows=96, cols=64)
+    out_root = tmp_path / "runs_banded"
+
+    def cfg_for(budget):
+        return {
+            "datasets": [{
+                "name": "synthetic",
+                "raster_in": paths["raster_in"],
+                "raster_gt": paths["raster_gt"],
+                "area_type": "train+val",
+                "allocation_strategy": "5-crossval_horizontal",
+                "test_stripe": 1,
+                "n_training_samples": 24,
+                "path_image_list": paths["imagelist"],
+                "path_pairlist_training": paths["pairlist"],
+                "path_pairlist_validation": paths["pairlist"],
+            }],
+            "model": {"input_channels": "geom-stereo", "depth": 2,
+                      "start_kernel": 4, "max_filter_depth": 8},
+            "training_settings": {"tile_size": 16, "batch_size": 4,
+                                  "n_epochs": 2, "loss": "L1"},
+            "optimizer": {"name": "Adam", "learning_rate": 0.001},
+            "scheduler": {"enabled": False},
+            "general": {"evaluate_rate": 1, "random_seed": 0},
+            "output": {"output_directory": str(out_root)},
+            # 5 planes (dsm in+gt+3 orthos) x 64 cols: 24-row windows
+            "tpu": {"max_device_pixels": budget},
+        }
+
+    cfg_path = tmp_path / "train_banded.json"
+    cfg_path.write_text(json.dumps(cfg_for(24 * 64 * 5)))
+
+    import train as train_cli
+    _run_cli(train_cli.main, str(cfg_path), monkeypatch)
+
+    run_dir = sorted(out_root.iterdir())[0]
+    run_log = (run_dir / "run.log").read_text()
+    assert "banded residency" in run_log
+    assert "Device-resident raster estimate" in run_log
+    assert (run_dir / "checkpoints" / "Model_last.npz").exists()
+    assert (run_dir / "checkpoints" / "Model_best.npz").exists()
+
+    # infeasible budget: clean exit 1, actionable message in the log
+    cfg_path.write_text(json.dumps(cfg_for(2 * 16 * 16)))  # passes the
+    # validator floor (= 2 tile windows of 16 px) but cannot fit a band of
+    # this 64-col, 5-plane region
+    with pytest.raises(SystemExit) as exc:
+        _run_cli(train_cli.main, str(cfg_path), monkeypatch)
+    assert exc.value.code == 1
+    logs = sorted(out_root.iterdir())[-1] / "run.log"
+    assert "Raise" in logs.read_text()

@@ -723,3 +723,32 @@ def test_predict_tta_rejects_non_subgroup_counts(make_geotiff):
     params, bn_state = init_unet(jax.random.PRNGKey(0), config)
     with pytest.raises(ValueError, match="tta"):
         predict_linear_blend(config, params, bn_state, ds, tta=3)
+
+
+def test_tta1_merge_mode_reuses_compiled_program(make_geotiff):
+    """tta_merge is a no-op at tta=1 but keys the lru_cache'd jitted scene
+    program — _predict_tiles must normalize it so tta=1 + 'median' reuses
+    the tta=1 + 'mean' compilation instead of recompiling an identical
+    program (ADVICE r3)."""
+    from resdepth_tpu.infer import tiled as tiled_mod
+
+    paths, dsm, gt, images = _scene(make_geotiff, rows=32, cols=32)
+    entry = {"raster_in": paths["raster_in"],
+             "image_list": paths["image_list"], "image_pairs": [(0, 1)],
+             "area_defn": {"x_extent": [(0, 31)], "y_extent": [(0, 31)]}}
+    ds = TileDataset(entry, input_channels="geom-stereo", tile_size=16,
+                     sampling_strategy="test", dsm_std=5.0, ortho_mean=120.0,
+                     ortho_std=25.0)
+    config = UNetConfig(n_input_channels=3, start_kernel=4, max_filter_depth=8,
+                        depth=2)
+    params, bn_state = init_unet(jax.random.PRNGKey(1), config)
+
+    out_mean = predict_linear_blend(config, params, bn_state, ds,
+                                    batch_size=3, tta=1, tta_merge="mean")
+    before = tiled_mod._make_scene_fn.cache_info()
+    out_median = predict_linear_blend(config, params, bn_state, ds,
+                                      batch_size=3, tta=1, tta_merge="median")
+    after = tiled_mod._make_scene_fn.cache_info()
+    assert after.misses == before.misses, \
+        "tta=1 + median recompiled a program identical to tta=1 + mean"
+    np.testing.assert_array_equal(out_mean, out_median)

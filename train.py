@@ -372,11 +372,49 @@ def main() -> None:
             "default": dict(precision=_jax.lax.Precision.DEFAULT),
             "highest": dict(precision=_jax.lax.Precision.HIGHEST),
         }[train_precision]
+    # ---------------------- device raster residency ------------------------ #
+    # The resident pipeline replicates each region's FULL rasters into every
+    # device's HBM. tpu.max_device_pixels bounds that residency: regions over
+    # the budget train via banded residency (data/banded.py — host-RAM
+    # rasters, one band window resident at a time), matching the reference's
+    # host-RAM capability (lib/DsmOrthoDataset.py:293-314) on HBM-sized
+    # budgets. docs/SCALING.md has the sizing guidance.
+    from resdepth_tpu.data import banded
+    max_device_pixels = int(cfg.tpu.get("max_device_pixels", 0) or 0)
+    resident_px = sum(banded.resident_pixels(ds)
+                      for ds in train_datasets + val_datasets)
+    logger.info(f"Device-resident raster estimate: {resident_px:,} px "
+                f"({resident_px * 4 / 2**30:.2f} GiB f32) per device")
+    if max_device_pixels:
+        logger.info(f"tpu.max_device_pixels: {max_device_pixels:,} "
+                    f"({max_device_pixels * 4 / 2**30:.2f} GiB f32) — regions "
+                    "over the budget use banded residency")
+    else:
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            hbm = stats.get("bytes_limit", 0)
+        except Exception:
+            hbm = 0
+        if hbm and resident_px * 4 > hbm // 2:
+            logger.warning(
+                f"Resident rasters ({resident_px * 4 / 2**30:.2f} GiB) exceed "
+                f"half of device memory ({hbm / 2**30:.2f} GiB); set "
+                "tpu.max_device_pixels to train with banded residency "
+                "(docs/SCALING.md) if the run OOMs.")
+    banded_train = [max_device_pixels and
+                    banded.resident_pixels(ds) > max_device_pixels
+                    for ds in train_datasets]
+    banded_val = [max_device_pixels and
+                  banded.resident_pixels(ds) > max_device_pixels
+                  for ds in val_datasets]
+
     # Weighted BN statistics are only needed when zero-weight padding can
     # occur; with full batches the unweighted path is numerically identical
-    # and skips the weighted-moment passes (train/step.py).
+    # and skips the weighted-moment passes (train/step.py). Band tails are
+    # zero-weight-padded too, so banding always takes the weighted path.
     weighted_bn = (emit_size != batch_size or
-                   any(len(ds) % batch_size != 0 for ds in train_datasets))
+                   any(len(ds) % batch_size != 0 for ds in train_datasets) or
+                   any(banded_train))
     remat = cfg.tpu.get("remat", False)
     train_step = make_train_step(model_config, train_spec, tx, mesh=mesh,
                                  compute_dtype=compute_dtype,
@@ -399,15 +437,34 @@ def main() -> None:
     eval_step = make_eval_step(model_config, val_spec, mesh=mesh,
                                compute_dtype=compute_dtype)
 
-    train_loaders = [(device_put_dataset(ds),
-                      BatchIndexIterator(ds, batch_size, shuffle=True,
-                                         seed=seed + 1000 + i,
-                                         emit_size=emit_size))
-                     for i, ds in enumerate(train_datasets)]
-    val_loaders = [(device_put_dataset(ds),
-                    BatchIndexIterator(ds, batch_size, shuffle=False,
-                                       emit_size=emit_size))
-                   for ds in val_datasets]
+    def _make_loaders(datasets, banding, shuffle, seed_base, label):
+        loaders = []
+        for i, ds in enumerate(datasets):
+            if banding[i]:
+                try:
+                    sub = banded.make_banded_loaders(
+                        ds, batch_size,
+                        max_device_pixels=max_device_pixels,
+                        seed=seed_base + i, emit_size=emit_size,
+                        shuffle=shuffle)
+                except ValueError as exc:
+                    logger.error(f"{label} region {i}: {exc}\n")
+                    sys.exit(1)
+                logger.info(
+                    f"{label} region {i}: {banded.resident_pixels(ds):,} px "
+                    f"> budget — banded residency, {len(sub)} bands")
+                loaders.extend(sub)
+            else:
+                loaders.append((device_put_dataset(ds),
+                                BatchIndexIterator(ds, batch_size,
+                                                   shuffle=shuffle,
+                                                   seed=seed_base + i,
+                                                   emit_size=emit_size)))
+        return loaders
+
+    train_loaders = _make_loaders(train_datasets, banded_train, True,
+                                  seed + 1000, "train")
+    val_loaders = _make_loaders(val_datasets, banded_val, False, 0, "val")
 
     hparams = {
         "batch_size": batch_size,
@@ -431,7 +488,10 @@ def main() -> None:
         tboard_log_dir=cfg.output.tboard_log_dir,
         metrics_jsonl=os.path.join(output_directory, "metrics.jsonl"),
         hparams=hparams, rng_seed=seed,
-        profile_dir=cfg.tpu.profile_dir or None)
+        profile_dir=cfg.tpu.profile_dir or None,
+        # Band windows must be visited contiguously (one swap per band per
+        # epoch); a no-op regrouping for fully-resident loader sets.
+        group_chunks_by_loader=any(banded_train))
 
     if resume_meta is not None:
         trainer.resume_from(resume_meta)
