@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import itertools
 
 import jax
 import jax.numpy as jnp
@@ -165,7 +166,52 @@ def _make_scene_fn(config: UNetConfig, spec: BatchSpec, shape, dsm_std,
             in_specs=(P(), P(), P(), P(None, axes), P(None, axes),
                       P(None, axes), P(None, axes)),
             out_specs=P(), check_vma=False)
-    return jax.jit(scene_fn)
+    fn = jax.jit(scene_fn)
+    if jax.process_count() > 1:
+        return _CompileBarrierFn(fn)
+    return fn
+
+
+_barrier_counter = itertools.count()
+
+
+def _wait_at_barrier(name: str, timeout_ms: int = 600_000) -> None:
+    try:
+        from jax._src import distributed
+        client = distributed.global_state.client
+    except Exception:       # pragma: no cover - jax internals moved
+        client = None
+    if client is not None:
+        client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+
+
+class _CompileBarrierFn:
+    """Multi-process dispatch guard: compile FIRST, align every process at
+    the distributed-runtime barrier (which waits up to 10 min, not the
+    collective deadline), THEN dispatch.
+
+    Without it the first process to finish compiling sits inside the scene
+    program's first collective while its peers still compile — on the CPU
+    backend gloo enforces a hard 30 s context-init deadline there, and
+    compile skew on loaded hosts exceeds it (observed in
+    tests/test_multiprocess.py); on TPU pods the same alignment avoids
+    collective-timeout flakiness after long first compiles. Barrier names
+    come from a module counter: every process runs the identical call
+    sequence on replicated inputs, so the names line up."""
+
+    def __init__(self, fn):
+        self._fn = fn
+        self._compiled = {}
+
+    def __call__(self, *args):
+        key = tuple((tuple(leaf.shape), str(leaf.dtype))
+                    for leaf in jax.tree_util.tree_leaves(args))
+        exe = self._compiled.get(key)
+        if exe is None:
+            exe = self._fn.lower(*args).compile()
+            _wait_at_barrier(f"resdepth_scene_compile_{next(_barrier_counter)}")
+            self._compiled[key] = exe
+        return exe(*args)
 
 
 def _inference_spec(ds: TileDataset) -> BatchSpec:

@@ -79,6 +79,26 @@ PLATEAU = dict(factor=0.5, patience=15, min_lr=1e-6)
 EVALUATE_RATE = 1
 TEST_STRIPE = 0                # test = cols 0-79, val = 80-159, train = rest
 
+FLAGSHIP = False               # set by --flagship (_apply_flagship)
+
+
+def _apply_flagship() -> None:
+    """VERDICT r3 item 1: run the study at the reference OPERATING POINT —
+    depth-5 / start-64 / cap-512 UNet on 256-px tiles
+    (/root/reference/lib/config.py:25,35,80; cap lib/UNet.py:152-155), a
+    1024x1280 scene (5 vertical 256-px stripes), 2000 samples/epoch
+    (100 optimizer steps at batch 20). 300 epochs = 600k samples ~= minutes
+    on the chip; the torch reference at this scale costs ~55 s/step on this
+    1-core host, so its runs use a reduced-but-honest protocol
+    (--samples/--epochs, same batch/LR/scene) and trajectories are compared
+    by SAMPLES SEEN over the overlap window (docs/CONVERGENCE.md)."""
+    global ROWS, COLS, TILE, MODEL, N_SAMPLES, FLAGSHIP
+    ROWS, COLS = 1024, 1280
+    TILE = 256
+    MODEL = dict(MODEL, start_kernel=64, depth=5, max_filter_depth=512)
+    N_SAMPLES = 2000
+    FLAGSHIP = True
+
 
 # ------------------------------- scene ------------------------------------ #
 
@@ -107,6 +127,7 @@ def generate_scene(out_dir: str, scene_seed: int) -> dict:
     with open(os.path.join(out_dir, "pairlist.txt"), "w") as f:
         f.write("ortho_315, ortho_135\n")
     meta = {"scene_seed": scene_seed, "rows": ROWS, "cols": COLS,
+            "flagship": FLAGSHIP, "tile": TILE,
             "paths": paths,
             "imagelist": os.path.abspath(os.path.join(out_dir, "imagelist.txt")),
             "pairlist": os.path.abspath(os.path.join(out_dir, "pairlist.txt"))}
@@ -119,7 +140,13 @@ def generate_scene(out_dir: str, scene_seed: int) -> dict:
 
 def _load_scene(out_dir: str) -> dict:
     with open(os.path.join(out_dir, "scene.json")) as f:
-        return json.load(f)
+        scene = json.load(f)
+    if scene.get("flagship", False) != FLAGSHIP:
+        raise SystemExit(
+            f"scene at {out_dir} was generated with flagship="
+            f"{scene.get('flagship', False)}; pass --flagship consistently "
+            "for every command on this directory.")
+    return scene
 
 
 def refined_test_mae(pred: np.ndarray, pred_origin_col: int, gt: np.ndarray,
@@ -239,9 +266,10 @@ def _set_seed(seed: int) -> None:
 
 
 def run_torch(out_dir: str, seed: int, epochs: int, scheduler_name: str,
-              tag: str | None = None) -> dict:
+              tag: str | None = None, n_samples: int | None = None) -> dict:
     import torch
 
+    n_samples = N_SAMPLES if n_samples is None else int(n_samples)
     scene = _load_scene(out_dir)
     registry = _registry_from_scene(scene)
     ref = _load_reference_stack(registry)
@@ -266,7 +294,7 @@ def run_torch(out_dir: str, seed: int, epochs: int, scheduler_name: str,
 
     # --- normalization passes (train.py:105-139, real lib/utils fns) ---
     sigma_ds = ref.DsmOrthoDataset(
-        dataset_args(train_area, N_SAMPLES), input_channels="geom-stereo",
+        dataset_args(train_area, n_samples), input_channels="geom-stereo",
         tile_size=TILE, sampling_strategy="train", transform_dsm=False,
         transform_orthos=False, dsm_mean=None, dsm_std=1.0, ortho_mean=None,
         ortho_std=1.0, augment=False, use_all_stereo_pairs=False,
@@ -282,7 +310,7 @@ def run_torch(out_dir: str, seed: int, epochs: int, scheduler_name: str,
     # --- loaders (train.py:143-161: re-seed, then build) ---
     _set_seed(seed)
     train_ds = ref.DsmOrthoDataset(
-        dataset_args(train_area, N_SAMPLES), input_channels="geom-stereo",
+        dataset_args(train_area, n_samples), input_channels="geom-stereo",
         tile_size=TILE, sampling_strategy="train", transform_dsm=True,
         transform_orthos=True, dsm_mean=None, dsm_std=dsm_std,
         ortho_mean=images_mean, ortho_std=images_std, augment=True,
@@ -649,12 +677,23 @@ def main() -> None:
     p.add_argument("--tag", default=None)
     p.add_argument("--png", default=None,
                    help="report: also render the val-MAE curves to this path")
+    p.add_argument("--flagship", action="store_true",
+                   help="reference operating point: depth-5/start-64/256-px "
+                        "on a 1024x1280 scene, 2000 samples/epoch "
+                        "(_apply_flagship; VERDICT r3 item 1)")
+    p.add_argument("--samples", type=int, default=None,
+                   help="torch: override samples/epoch (reduced-but-honest "
+                        "protocol at flagship scale; compare by samples seen)")
     args = p.parse_args()
+
+    if args.flagship:
+        _apply_flagship()
 
     if args.cmd == "gen":
         generate_scene(args.out, args.scene_seed)
     elif args.cmd == "torch":
-        run_torch(args.out, args.seed, args.epochs, args.scheduler, args.tag)
+        run_torch(args.out, args.seed, args.epochs, args.scheduler, args.tag,
+                  n_samples=args.samples)
     elif args.cmd == "jax":
         run_jax(args.out, args.seed, args.epochs, args.scheduler,
                 args.precision, args.cpu, args.tag)

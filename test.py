@@ -72,8 +72,16 @@ def main() -> None:
     print("\n{}\n{}\n".format(title, "=" * len(title)))
 
     # Multi-process bootstrap (env-triggered) before any backend access.
-    from resdepth_tpu.parallel.bootstrap import maybe_initialize_distributed
+    from resdepth_tpu.parallel.bootstrap import (is_chief,
+                                                 maybe_initialize_distributed)
     maybe_initialize_distributed()
+    # Under a multi-process launch every process runs the full inference
+    # loops (the mesh collectives need all participants) and fetches the
+    # identical psum'd scene canvas, but only process 0 evaluates and
+    # writes artifacts — non-chief writes would be redundant races on
+    # shared storage (same policy as the Trainer's checkpoint/metrics
+    # gating, train/trainer.py).
+    chief = is_chief()
 
     if not fs.file_exists(cfg_file):
         print(f"ERROR: Cannot find the configuration file: {cfg_file}")
@@ -87,7 +95,9 @@ def main() -> None:
         sys.exit(1)
     cfg = eval_cfg.cfg
     cfg_orig = cfg_io.read_json(cfg_file)
-    add_file_logger(logger, log_file=os.path.join(cfg.output.directory, "run.log"))
+    if chief:
+        add_file_logger(logger, log_file=os.path.join(cfg.output.directory,
+                                                      "run.log"))
 
     from resdepth_tpu.utils.backend_probe import BackendUnavailable, probe_backend
     try:
@@ -166,9 +176,11 @@ def main() -> None:
             if "area_type" in cfg.datasets[index] else ""
         name = dataset.get("name") or f"dataset_{index}"
         output_parent = os.path.join(cfg.output.directory, name)
-        fs.make_dir(output_parent)
-        cfg_io.write_json(cfg_orig, os.path.join(output_parent, "config.json.orig"))
-        cfg_io.write_json(cfg, os.path.join(output_parent, "config.json"))
+        if chief:
+            fs.make_dir(output_parent)
+            cfg_io.write_json(cfg_orig,
+                              os.path.join(output_parent, "config.json.orig"))
+            cfg_io.write_json(cfg, os.path.join(output_parent, "config.json"))
 
         image_pairs = dataset.get("image_pairs") or [None]
         basename = fs.filename_wo_ext(dataset.raster_in)
@@ -193,7 +205,8 @@ def main() -> None:
                                                              "Imagepair")
                     folder = "_".join([kind] + [str(i) for i in image_pair])
                     output_directory = os.path.join(output_parent, folder)
-                    fs.make_dir(output_directory)
+                    if chief:
+                        fs.make_dir(output_directory)
                     logger.info(f"\nInference using image pair: {tuple(image_pair)}")
                     for image_index in image_pair:
                         logger.info(f"Image {image_index}:\t"
@@ -269,6 +282,10 @@ def main() -> None:
             pending = job
 
             area_defn = dataset.area_defn
+            if not chief:
+                # Non-chief processes fetch (keeping the pair pipeline paced
+                # identically across the cluster) but never evaluate/export.
+                continue
             if dataset.get("raster_gt"):
                 logger.info(f"Evaluate{pair_tag}...")
                 stats_file = os.path.join(
@@ -338,7 +355,7 @@ def main() -> None:
                                             nodata=-9999, dtype=np.float32)
 
         # --------------------- aggregate over image pairs ------------------- #
-        if len(image_pairs) > 1 and dataset.get("raster_gt"):
+        if chief and len(image_pairs) > 1 and dataset.get("raster_gt"):
             logger.info("\nCompute residual errors averaged over all predictions...")
             outfile = os.path.join(
                 output_parent,

