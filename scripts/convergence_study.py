@@ -413,11 +413,16 @@ def run_torch(out_dir: str, seed: int, epochs: int, scheduler_name: str,
 
 def run_jax(out_dir: str, seed: int, epochs: int, scheduler_name: str,
             precision: str, on_cpu: bool, tag: str | None = None,
-            extra_training: dict | None = None) -> dict:
+            extra_training: dict | None = None, batch: int | None = None,
+            lr: float | None = None) -> dict:
     """``extra_training`` merges extra training_settings keys into the run
     config (e.g. {'ema_decay': 0.999} for the EMA A/B, scripts/ema_study.py)
     — everything else, incl. the metric protocol, stays identical so results
-    remain comparable with the stored study JSONs."""
+    remain comparable with the stored study JSONs. ``batch``/``lr`` override
+    the stock batch 20 / Adam 2e-4 for the global-batch scaling A/B
+    (docs/SCALING.md; VERDICT r3 item 3)."""
+    batch = BATCH if batch is None else int(batch)
+    lr = LR if lr is None else float(lr)
     scene = _load_scene(out_dir)
     tag = tag or f"seed{seed}_{scheduler_name}_{precision}"
     run_root = os.path.abspath(os.path.join(out_dir, "runs_jax", tag))
@@ -447,10 +452,10 @@ def run_jax(out_dir: str, seed: int, epochs: int, scheduler_name: str,
                   "max_filter_depth": MODEL["max_filter_depth"]},
         "stereopair_settings": {"use_all_stereo_pairs": False,
                                 "permute_images_within_pair": False},
-        "training_settings": {"tile_size": TILE, "batch_size": BATCH,
+        "training_settings": {"tile_size": TILE, "batch_size": batch,
                               "n_epochs": epochs, "augment": True,
                               "loss": "L1", **(extra_training or {})},
-        "optimizer": {"name": "Adam", "learning_rate": LR,
+        "optimizer": {"name": "Adam", "learning_rate": lr,
                       "weight_decay": WD},
         "scheduler": sched,
         "general": {"evaluate_rate": EVALUATE_RATE,
@@ -546,6 +551,7 @@ def run_jax(out_dir: str, seed: int, epochs: int, scheduler_name: str,
         "side": "resdepth-tpu", "tag": tag, "seed": seed,
         "scene_seed": scene["scene_seed"], "epochs": epochs,
         "scheduler": scheduler_name, "precision": precision,
+        "batch": batch, "lr": lr,
         "backend": "cpu-mesh" if on_cpu else "tpu",
         "val_curve": curve, "lr_curve": lr_curve,
         "best_val_mae": min(v for _, v in curve),
@@ -684,6 +690,11 @@ def main() -> None:
     p.add_argument("--samples", type=int, default=None,
                    help="torch: override samples/epoch (reduced-but-honest "
                         "protocol at flagship scale; compare by samples seen)")
+    p.add_argument("--batch", type=int, default=None,
+                   help="jax: override training batch size (global-batch "
+                        "scaling A/B)")
+    p.add_argument("--lr", type=float, default=None,
+                   help="jax: override the Adam learning rate")
     args = p.parse_args()
 
     if args.flagship:
@@ -696,7 +707,8 @@ def main() -> None:
                   n_samples=args.samples)
     elif args.cmd == "jax":
         run_jax(args.out, args.seed, args.epochs, args.scheduler,
-                args.precision, args.cpu, args.tag)
+                args.precision, args.cpu, args.tag, batch=args.batch,
+                lr=args.lr)
     else:
         report(args.out, png_path=args.png)
 
