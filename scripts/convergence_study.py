@@ -414,15 +414,18 @@ def run_torch(out_dir: str, seed: int, epochs: int, scheduler_name: str,
 def run_jax(out_dir: str, seed: int, epochs: int, scheduler_name: str,
             precision: str, on_cpu: bool, tag: str | None = None,
             extra_training: dict | None = None, batch: int | None = None,
-            lr: float | None = None) -> dict:
+            lr: float | None = None, n_samples: int | None = None) -> dict:
     """``extra_training`` merges extra training_settings keys into the run
     config (e.g. {'ema_decay': 0.999} for the EMA A/B, scripts/ema_study.py)
     — everything else, incl. the metric protocol, stays identical so results
     remain comparable with the stored study JSONs. ``batch``/``lr`` override
     the stock batch 20 / Adam 2e-4 for the global-batch scaling A/B
-    (docs/SCALING.md; VERDICT r3 item 3)."""
+    (docs/SCALING.md; VERDICT r3 item 3); ``n_samples`` overrides
+    samples/epoch so the jax side can mirror the torch reduced-but-honest
+    protocol at flagship scale (VERDICT r3 item 1)."""
     batch = BATCH if batch is None else int(batch)
     lr = LR if lr is None else float(lr)
+    n_samples = N_SAMPLES if n_samples is None else int(n_samples)
     scene = _load_scene(out_dir)
     tag = tag or f"seed{seed}_{scheduler_name}_{precision}"
     run_root = os.path.abspath(os.path.join(out_dir, "runs_jax", tag))
@@ -445,7 +448,7 @@ def run_jax(out_dir: str, seed: int, epochs: int, scheduler_name: str,
             "area_type": "train+val",
             "allocation_strategy": "5-crossval_vertical",
             "test_stripe": TEST_STRIPE,
-            "n_training_samples": N_SAMPLES,
+            "n_training_samples": n_samples,
         }],
         "model": {"input_channels": "geom-stereo", "depth": MODEL["depth"],
                   "start_kernel": MODEL["start_kernel"],
@@ -688,8 +691,9 @@ def main() -> None:
                         "on a 1024x1280 scene, 2000 samples/epoch "
                         "(_apply_flagship; VERDICT r3 item 1)")
     p.add_argument("--samples", type=int, default=None,
-                   help="torch: override samples/epoch (reduced-but-honest "
-                        "protocol at flagship scale; compare by samples seen)")
+                   help="override samples/epoch on either side (reduced-but-"
+                        "honest protocol at flagship scale: run BOTH stacks "
+                        "at the same reduced protocol for a direct overlap)")
     p.add_argument("--batch", type=int, default=None,
                    help="jax: override training batch size (global-batch "
                         "scaling A/B)")
@@ -708,7 +712,7 @@ def main() -> None:
     elif args.cmd == "jax":
         run_jax(args.out, args.seed, args.epochs, args.scheduler,
                 args.precision, args.cpu, args.tag, batch=args.batch,
-                lr=args.lr)
+                lr=args.lr, n_samples=args.samples)
     else:
         report(args.out, png_path=args.png)
 
