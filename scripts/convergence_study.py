@@ -640,6 +640,71 @@ def plot(out_dir: str, results: list, png_path: str) -> None:
     print(f"figure -> {png_path}")
 
 
+def plot_flagship(results: list, png_path: str) -> None:
+    """Two-panel flagship figure (VERDICT r3 item 1).
+
+    Left: the 300-epoch at-scale runs (2000 samples/epoch) — balanced16 vs
+    the f32-HIGH control, StepLR firing at epoch 200. Right: the direct
+    stack-vs-stack overlap at the identical reduced protocol (200
+    samples/epoch, both sides same batch/LR/scene/seed) — torch reference
+    vs this framework, epoch-aligned because samples/epoch match.
+    Colors follow the dataviz categorical slots used by plot().
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    at_scale, overlap = [], []
+    for r in results:
+        if r["scheduler"] != "steplr" or r.get("batch", BATCH) != BATCH:
+            continue
+        (overlap if "reduced" in r["tag"] else at_scale).append(r)
+
+    def style(r):
+        if r["side"] == "torch-reference":
+            return "#eb6834", "torch reference"
+        if r.get("precision") == "high":
+            return "#1baf7a", "resdepth-tpu f32 control"
+        return "#2a78d6", "resdepth-tpu balanced16"
+
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(10, 4.2), dpi=150)
+    fig.patch.set_facecolor("#fcfcfb")
+    for ax, runs, title in (
+            (ax1, at_scale, "at scale: 2000 samples/epoch, 300 epochs"),
+            (ax2, overlap, "stack overlap: identical reduced protocol")):
+        ax.set_facecolor("#fcfcfb")
+        seen = set()
+        for r in sorted(runs, key=lambda r: (r["side"], r["seed"])):
+            color, label = style(r)
+            ax.plot([e for e, _ in r["val_curve"]],
+                    [v for _, v in r["val_curve"]], color=color,
+                    linewidth=1.4, alpha=0.9,
+                    label=None if label in seen else label)
+            seen.add(label)
+        ax.set_xlabel("epoch", fontsize=9, color="#0b0b0b")
+        ax.set_ylabel("val MAE (m)", fontsize=9, color="#0b0b0b")
+        ax.set_title(title, fontsize=9, color="#0b0b0b")
+        ax.grid(True, color="#e8e7e4", linewidth=0.6)
+        for spine in ("top", "right"):
+            ax.spines[spine].set_visible(False)
+        for spine in ("left", "bottom"):
+            ax.spines[spine].set_color("#c3c2b7")
+        ax.tick_params(colors="#52514e", labelsize=8)
+        ax.legend(frameon=False, fontsize=8, labelcolor="#0b0b0b")
+    if at_scale:
+        ax1.set_yscale("log")
+        ax1.axvline(STEP_SIZE, color="#52514e", linewidth=0.8,
+                    linestyle=":", alpha=0.7)
+        ax1.text(STEP_SIZE + 3, ax1.get_ylim()[1] * 0.7,
+                 f"StepLR fires (epoch {STEP_SIZE})", fontsize=8,
+                 color="#52514e")
+    fig.suptitle("Flagship-scale convergence (depth-5/start-64, 256 px)",
+                 fontsize=10, color="#0b0b0b")
+    fig.tight_layout()
+    fig.savefig(png_path)
+    print(f"figure -> {png_path}")
+
+
 def report(out_dir: str, png_path: str | None = None) -> None:
     results_dir = os.path.join(out_dir, "results")
     results = []
@@ -650,7 +715,10 @@ def report(out_dir: str, png_path: str | None = None) -> None:
         print("no results")
         return
     if png_path:
-        plot(out_dir, results, png_path)
+        if FLAGSHIP:
+            plot_flagship(results, png_path)
+        else:
+            plot(out_dir, results, png_path)
 
     marks = [10, 25, 50, 100, 150, 200, 210, 250, 300]
     print("| run | backend | " + " | ".join(f"val@{m}" for m in marks)
