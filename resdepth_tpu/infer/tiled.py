@@ -26,6 +26,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import itertools
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -183,6 +184,17 @@ def _wait_at_barrier(name: str, timeout_ms: int = 600_000) -> None:
         client = None
     if client is not None:
         client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+    elif jax.process_count() > 1:  # pragma: no cover - jax internals moved
+        # The barrier exists to keep compile skew out of the scene
+        # program's first collective (see _CompileBarrierFn). Losing it
+        # silently would reintroduce intermittent collective-timeout
+        # failures with no breadcrumb — warn so a JAX upgrade that moves
+        # the private distributed state is caught from the logs.
+        warnings.warn(
+            "multi-process compile barrier unavailable (jax._src."
+            "distributed.global_state has no client); dispatch proceeds "
+            "unaligned and may hit collective timeouts under compile skew",
+            RuntimeWarning, stacklevel=2)
 
 
 class _CompileBarrierFn:

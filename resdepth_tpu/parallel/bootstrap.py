@@ -83,7 +83,32 @@ def maybe_initialize_distributed(tpu_cfg=None, logger=None) -> bool:
 
 def is_chief() -> bool:
     """True on the process responsible for writing run artifacts
-    (process 0; trivially true single-process)."""
-    import jax
+    (process 0; trivially true single-process).
 
-    return jax.process_index() == 0
+    Deliberately backend-free unless a multi-process runtime is actually
+    up: the CLIs consult the chief flag BEFORE routing their first
+    backend access through the bounded ``utils/backend_probe``
+    subprocess, and an eager ``jax.process_index()`` here would
+    initialize the PJRT client in-process — on a wedged TPU that means
+    hanging at the chief check instead of the probe's clean
+    ``BackendUnavailable`` timeout path.
+    """
+    if _initialized:
+        import jax
+
+        return jax.process_index() == 0
+    # Not bootstrapped by us. If some other actor already initialized
+    # jax.distributed, respect its process id (reading global_state is
+    # passive — it never constructs a backend client); otherwise this is
+    # a single-process run and process 0 is the only process.
+    import sys
+
+    if "jax" in sys.modules:
+        try:
+            from jax._src import distributed as _dist
+
+            if _dist.global_state.client is not None:
+                return sys.modules["jax"].process_index() == 0
+        except Exception:  # private layout changed: single-process default
+            pass
+    return True

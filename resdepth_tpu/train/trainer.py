@@ -56,10 +56,15 @@ class Trainer:
                  group_chunks_by_loader: bool = False):
         """
         ``train_loaders`` / ``val_loaders``: lists of
-        ``(DeviceRasters, BatchIndexIterator)`` pairs, one per dataset region
-        (the reference concatenates regions via ConcatDataset,
-        lib/utils.py:264-267; here each jitted step consumes batches from one
-        region and the region order is shuffled per epoch).
+        ``(rasters, batch_iterator)`` pairs, one per dataset region (the
+        reference concatenates regions via ConcatDataset,
+        lib/utils.py:264-267; here each jitted step consumes batches from
+        one region and the region order is shuffled per epoch). Element 0
+        is either a resident ``DeviceRasters`` or a lazy residency
+        provider with ``resolve()``/``release()`` (``FullResident`` /
+        ``BandWindow``, data/banded.py) resolved per chunk via
+        ``_resolve_rasters``; element 1 yields index batches
+        (``BatchIndexIterator`` or a banded ``_BandView``).
         """
         self.state = state
         self.train_step = train_step

@@ -130,10 +130,18 @@ def main() -> None:
                   f"{tta} passes, device {min(dev_times):6.2f} s/scene, "
                   f"MAE {mae:.4f} m", flush=True)
 
-    base = cells[(min(args.strides), 1)]
+    # Parity reference = (stride 128, tta 1) when measured; on a custom
+    # grid that omits it, fall back to the cheapest measured cell and SAY
+    # so — a KeyError here would discard the chip measurements above.
+    base_key = (128, 1) if (128, 1) in cells \
+        else (min(args.strides), min(args.ttas))
+    base = cells[base_key]
     print(f"\nscene {rows}x{cols}, mode {args.mode}, merge {args.merge}; "
-          f"input MAE {mae_in:.3f} m; parity cell = stride "
-          f"{min(args.strides)}, tta 1")
+          f"input MAE {mae_in:.3f} m; rel-compute/rel-time base cell = "
+          f"stride {base_key[0]}, tta {base_key[1]}"
+          + ("" if base_key == (128, 1) else
+             " (NOT the stride-128/tta-1 parity point — it was not in "
+             "this grid)"))
     print(f"{'stride':>6s} {'tta':>4s} {'passes':>7s} {'rel compute':>12s} "
           f"{'dev s':>7s} {'rel time':>9s} {'MAE(m)':>8s} {'dMAE(cm)':>9s}")
     for (stride, tta), c in sorted(cells.items()):
