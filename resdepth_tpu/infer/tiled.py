@@ -177,14 +177,19 @@ _barrier_counter = itertools.count()
 
 
 def _wait_at_barrier(name: str, timeout_ms: int = 600_000) -> None:
+    # JAX-version coupling: the distributed-runtime barrier is only reachable
+    # through the PRIVATE jax._src.distributed.global_state.client (no public
+    # barrier API as of jax 0.8). If an upgrade moves it, the except arm
+    # degrades LOUDLY below instead of hanging or crashing; the degradation
+    # is pinned by tests/test_multiprocess.py::test_compile_barrier_*.
     try:
         from jax._src import distributed
         client = distributed.global_state.client
-    except Exception:       # pragma: no cover - jax internals moved
+    except Exception:       # jax internals moved
         client = None
     if client is not None:
         client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
-    elif jax.process_count() > 1:  # pragma: no cover - jax internals moved
+    elif jax.process_count() > 1:
         # The barrier exists to keep compile skew out of the scene
         # program's first collective (see _CompileBarrierFn). Losing it
         # silently would reintroduce intermittent collective-timeout
