@@ -830,3 +830,84 @@ def test_train_banded_residency_cli(make_geotiff, tmp_path, monkeypatch):
     assert exc.value.code == 1
     logs = sorted(out_root.iterdir())[-1] / "run.log"
     assert "Raise" in logs.read_text()
+
+
+def test_serving_preset_accuracy_matches_explicit_knobs(make_geotiff,
+                                                        tmp_path, monkeypatch):
+    """``general.serving_preset: "accuracy"`` is exactly the measured knob
+    bundle from BASELINE.md's round-4 grid — {tile_stride: 3*tile/4, tta: 4,
+    mean merge} — so its exported prediction must be identical to setting
+    those keys explicitly; an unknown preset is rejected at validation."""
+    paths, dsm, gt = _write_scene(make_geotiff, tmp_path)
+    out_root = tmp_path / "runs"
+
+    train_cfg = {
+        "datasets": [{
+            "name": "synthetic",
+            "raster_in": paths["raster_in"],
+            "raster_gt": paths["raster_gt"],
+            "area_type": "train+val",
+            "allocation_strategy": "5-crossval_vertical",
+            "test_stripe": 1,
+            "n_training_samples": 24,
+        }],
+        "model": {"input_channels": "geom", "depth": 2, "start_kernel": 4,
+                  "max_filter_depth": 8},
+        "training_settings": {"tile_size": 16, "batch_size": 4, "n_epochs": 2,
+                              "augment": False, "loss": "L1"},
+        "optimizer": {"name": "Adam", "learning_rate": 0.001},
+        "scheduler": {"enabled": False},
+        "general": {"save_model_rate": 2, "evaluate_rate": 1,
+                    "random_seed": 0},
+        "output": {"output_directory": str(out_root), "suffix": "preset"},
+    }
+    cfg_path = tmp_path / "train_cfg.json"
+    cfg_path.write_text(json.dumps(train_cfg))
+    import train as train_cli
+    _run_cli(train_cli.main, str(cfg_path), monkeypatch)
+    run_dir = sorted(out_root.iterdir())[0]
+
+    def evaluate(tag, general_extra):
+        eval_cfg = {
+            "datasets": [{
+                "name": "synthetic",
+                "raster_in": paths["raster_in"],
+                "raster_gt": paths["raster_gt"],
+                "allocation_strategy": "5-crossval_vertical",
+                "test_stripe": 1,
+                "area_type": "test",
+            }],
+            "model": {
+                "weights": str(run_dir / "checkpoints" / "Model_best.npz"),
+                "architecture": str(run_dir / "model_config.json"),
+                "normalization_geom": str(
+                    run_dir / "DSM_normalization_parameters.p"),
+            },
+            "general": {"tile_size": 16, "batch_size": 4, **general_extra},
+            "output": {"directory": str(tmp_path / "eval_out" / tag)},
+        }
+        eval_cfg_path = tmp_path / f"eval_cfg_{tag}.json"
+        eval_cfg_path.write_text(json.dumps(eval_cfg))
+        import test as test_cli
+        _run_cli(test_cli.main, str(eval_cfg_path), monkeypatch)
+        pred = list((tmp_path / "eval_out" / tag / "synthetic")
+                    .glob("dsm_prediction_test_area*.tif"))
+        assert pred, "no prediction exported"
+        return np.asarray(raster_mod.open_raster(str(pred[0])).data)
+
+    explicit = evaluate("explicit", {"tile_stride": 12, "tta": 4})
+    preset = evaluate("preset", {"serving_preset": "accuracy"})
+    np.testing.assert_array_equal(preset, explicit)
+
+    # the preset changes the output vs parity tiling (i.e. it is not a no-op)
+    parity = evaluate("parity", {})
+    assert not np.array_equal(preset, parity)
+
+    # unknown preset value -> validation error (exit 1)
+    bad_cfg = json.loads((tmp_path / "eval_cfg_preset.json").read_text())
+    bad_cfg["general"]["serving_preset"] = "fastest"
+    bad_path = tmp_path / "eval_cfg_bad.json"
+    bad_path.write_text(json.dumps(bad_cfg))
+    import test as test_cli
+    with pytest.raises(SystemExit):
+        _run_cli(test_cli.main, str(bad_path), monkeypatch)
