@@ -117,9 +117,15 @@ def run_mode(mode, args, scene, results):
     from resdepth_tpu.train.optim import build_optimizer
     from resdepth_tpu.train.step import init_train_state, make_train_step
 
+    import dataclasses
+
     rows, cols = scene["rows"], scene["cols"]
     rng = np.random.default_rng(args.scene_seed + 1)
     config = flagship_config(mode)
+    if args.smoke_model:
+        # CPU smoke runs: keep the mode wiring, shrink the network.
+        config = dataclasses.replace(config, depth=2, start_kernel=4,
+                                     max_filter_depth=8)
     params, bn = init_unet(jax.random.PRNGKey(0), config)
     tx = build_optimizer("Adam", 1e-5)
     state = init_train_state(params, bn, tx, 2e-4)
@@ -133,7 +139,7 @@ def run_mode(mode, args, scene, results):
 
     cache_key = {"scene_seed": args.scene_seed, "steps": args.steps,
                  "rows": rows, "cols": cols, "batch": args.train_batch,
-                 "tile": TILE, "mode": mode}
+                 "tile": TILE, "mode": mode, "smoke": args.smoke_model}
     cache = (os.path.join(args.state_cache_dir, f"{mode}.npz")
              if args.state_cache_dir else None)
     if cache and os.path.exists(cache):
@@ -239,6 +245,8 @@ def main() -> None:
     ap.add_argument("--bench-batch", type=int, default=None)
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--train-batch", type=int, default=20)
+    ap.add_argument("--smoke-model", action="store_true",
+                    help="depth-2/start-4 model: CPU wiring smoke only")
     args = ap.parse_args()
 
     global TILE, BATCH, TIMED_ITERS
