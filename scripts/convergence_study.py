@@ -414,7 +414,8 @@ def run_torch(out_dir: str, seed: int, epochs: int, scheduler_name: str,
 def run_jax(out_dir: str, seed: int, epochs: int, scheduler_name: str,
             precision: str, on_cpu: bool, tag: str | None = None,
             extra_training: dict | None = None, batch: int | None = None,
-            lr: float | None = None, n_samples: int | None = None) -> dict:
+            lr: float | None = None, n_samples: int | None = None,
+            remat: bool = False) -> dict:
     """``extra_training`` merges extra training_settings keys into the run
     config (e.g. {'ema_decay': 0.999} for the EMA A/B, scripts/ema_study.py)
     — everything else, incl. the metric protocol, stays identical so results
@@ -464,7 +465,15 @@ def run_jax(out_dir: str, seed: int, epochs: int, scheduler_name: str,
         "general": {"evaluate_rate": EVALUATE_RATE,
                     "save_model_rate": 10_000, "random_seed": seed,
                     "workers": 0},
-        "tpu": {"train_precision": precision, "steps_per_call": 8},
+        # remat: the flagship batch-160 point packs an 8-chip slice's GLOBAL
+        # batch onto one chip — 8x the activation stash the flagship
+        # operating point was sized for, which OOMs 16 GB HBM. tpu.remat
+        # (jax.checkpoint per conv block) trades the measured -14..-18%
+        # step time for the capacity win (BASELINE.md round-3 remat A/B:
+        # "documented for memory-constrained configurations: very large
+        # per-chip batches") — convergence semantics are unchanged.
+        "tpu": {"train_precision": precision, "steps_per_call": 8,
+                **({"remat": True} if remat else {})},
         "output": {"output_directory": os.path.join(run_root, "runs"),
                    "tboard_log_dir": os.path.join(run_root, "tb")},
     }
@@ -554,7 +563,7 @@ def run_jax(out_dir: str, seed: int, epochs: int, scheduler_name: str,
         "side": "resdepth-tpu", "tag": tag, "seed": seed,
         "scene_seed": scene["scene_seed"], "epochs": epochs,
         "scheduler": scheduler_name, "precision": precision,
-        "batch": batch, "lr": lr,
+        "batch": batch, "lr": lr, "remat": remat,
         "backend": "cpu-mesh" if on_cpu else "tpu",
         "val_curve": curve, "lr_curve": lr_curve,
         "best_val_mae": min(v for _, v in curve),
@@ -767,6 +776,9 @@ def main() -> None:
                         "scaling A/B)")
     p.add_argument("--lr", type=float, default=None,
                    help="jax: override the Adam learning rate")
+    p.add_argument("--remat", action="store_true",
+                   help="jax: set tpu.remat (capacity for over-HBM per-chip "
+                        "batches, e.g. the flagship global-batch-160 point)")
     args = p.parse_args()
 
     if args.flagship:
@@ -780,7 +792,7 @@ def main() -> None:
     elif args.cmd == "jax":
         run_jax(args.out, args.seed, args.epochs, args.scheduler,
                 args.precision, args.cpu, args.tag, batch=args.batch,
-                lr=args.lr, n_samples=args.samples)
+                lr=args.lr, n_samples=args.samples, remat=args.remat)
     else:
         report(args.out, png_path=args.png)
 
