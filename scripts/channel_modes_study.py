@@ -97,8 +97,15 @@ def _bench_forward(config, params, bn_state, mode_name):
 
     def window():
         t0 = time.perf_counter()
-        float(chain(params, bn_state, x))
-        return time.perf_counter() - t0
+        out = float(chain(params, bn_state, x))
+        dt = time.perf_counter() - t0
+        # bench.py's per-window finiteness check: a NaN during a TIMED
+        # window (e.g. a precision overflow on an untested channel mode —
+        # the exact risk this study measures) must not be timed as valid.
+        if not np.isfinite(out):
+            raise RuntimeError(f"non-finite chain output in timed window: "
+                               f"{out}")
+        return dt
 
     elapsed = min(window() for _ in range(3))
     return BATCH * TIMED_ITERS / elapsed
@@ -143,11 +150,15 @@ def run_mode(mode, args, scene, results):
     cache = (os.path.join(args.state_cache_dir, f"{mode}.npz")
              if args.state_cache_dir else None)
     if cache and os.path.exists(cache):
-        meta, p_loaded, bn_loaded, _ = ckpt_io.load_checkpoint(
-            cache, params_template=state.params, bn_template=state.bn_state)
+        # Check provenance BEFORE restoring: a cache written under different
+        # model-shape settings must produce this message, not a template
+        # shape error from load_checkpoint.
+        meta = ckpt_io.load_meta(cache)
         if meta.get("study_key") != cache_key:
             sys.exit(f"ERROR: cache {cache} trained with "
                      f"{meta.get('study_key')}, not {cache_key}.")
+        _meta, p_loaded, bn_loaded, _ = ckpt_io.load_checkpoint(
+            cache, params_template=state.params, bn_template=state.bn_state)
         state = state.replace(params=p_loaded, bn_state=bn_loaded)
         print(f"[{mode}/train] loaded cached state: {cache}", flush=True)
     else:
@@ -297,8 +308,14 @@ def main() -> None:
     }
     scene["dev_area"] = entire_area_defn(scene["dev_in"])
 
+    modes = [m.strip() for m in args.modes.split(",") if m.strip()]
+    unknown = [m for m in modes if m not in MODE_PAIRS]
+    if unknown:
+        sys.exit(f"ERROR: unknown --modes {unknown}; valid: "
+                 f"{sorted(MODE_PAIRS)}")
+
     results = {"steps": args.steps, "scene_seed": args.scene_seed}
-    for mode in args.modes.split(","):
+    for mode in modes:
         run_mode(mode, args, scene, results)
     if args.json:
         with open(args.json, "w") as f:

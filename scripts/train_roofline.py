@@ -219,12 +219,15 @@ def _build_step(config, batch: int, mode: str, k: int):
                            **mode_kwargs)
 
     def args(k_, b_):
-        pos = np.stack([rng.integers(0, rows - TILE, (k_, b_)),
-                        rng.integers(0, cols - TILE, (k_, b_))],
+        # A steps_per_call=1 step takes unbatched (B, ...) args — no
+        # leading K axis (train/step.py); K>1 takes (K, B, ...).
+        lead = (b_,) if k_ == 1 else (k_, b_)
+        pos = np.stack([rng.integers(0, rows - TILE, lead),
+                        rng.integers(0, cols - TILE, lead)],
                        -1).astype(np.int32)
-        pidx = rng.integers(0, 2, (k_, b_)).astype(np.int32)
-        return (rasters, pos, pidx, np.zeros((k_, b_, 4), np.int32),
-                np.ones((k_, b_), np.float32), jax.random.PRNGKey(0))
+        pidx = rng.integers(0, 2, lead).astype(np.int32)
+        return (rasters, pos, pidx, np.zeros(lead + (4,), np.int32),
+                np.ones(lead, np.float32), jax.random.PRNGKey(0))
 
     return state, step, args
 
