@@ -472,7 +472,13 @@ def run_jax(out_dir: str, seed: int, epochs: int, scheduler_name: str,
         # step time for the capacity win (BASELINE.md round-3 remat A/B:
         # "documented for memory-constrained configurations: very large
         # per-chip batches") — convergence semantics are unchanged.
-        "tpu": {"train_precision": precision, "steps_per_call": 8,
+        # (steps_per_call drops to 1 under remat: the 8-step scan of the
+        # rematerialised flagship graph at batch 160 exceeds what the
+        # relayed TPU compiler finishes in reasonable time; the multi-step
+        # dispatch amortisation it buys is ~5-10%, noise for a convergence
+        # point.)
+        "tpu": {"train_precision": precision,
+                "steps_per_call": 1 if remat else 8,
                 **({"remat": True} if remat else {})},
         "output": {"output_directory": os.path.join(run_root, "runs"),
                    "tboard_log_dir": os.path.join(run_root, "tb")},
