@@ -262,3 +262,31 @@ def test_validator_checks_max_device_pixels():
     assert check(-5) is False
     assert check("big") is False
     assert check(100, tile=32) is False           # below one tile window
+
+
+def test_window_budgets_boundaries(make_geotiff):
+    """Exact boundary behaviour of the 2-D budget math: the tile-window
+    floor, the full-width switchover, and budget adherence either side."""
+    paths = _scene(make_geotiff)
+    ds = _dataset(paths)  # 96x64, 5 planes, tile 16
+    tile, planes = ds.tile_size, PLANES
+    floor = planes * tile * tile                      # 1280
+    full_width = planes * COLS * tile                 # 5120
+
+    # one pixel below the floor -> actionable error
+    with pytest.raises(ValueError, match="tile window"):
+        banded.window_budgets_for(ds, floor - 1)
+    # exactly the floor -> a single tile x tile window is feasible
+    rb, cb = banded.window_budgets_for(ds, floor)
+    assert rb >= tile and cb >= tile
+    assert rb * cb * planes <= floor
+    # exactly one full-width tile band -> the 1-D fast path kicks in
+    rb, cb = banded.window_budgets_for(ds, full_width)
+    assert cb == COLS and rb == tile
+    # one below full-width -> 2-D, still within budget and >= tile
+    rb, cb = banded.window_budgets_for(ds, full_width - 1)
+    assert cb < COLS and rb >= tile and cb >= tile
+    assert rb * cb * planes <= full_width - 1
+    # a huge budget -> full width, rows clamp handled by iter_bands
+    rb, cb = banded.window_budgets_for(ds, 10**9)
+    assert cb == COLS and rb >= ROWS
