@@ -115,10 +115,12 @@ GENERAL_KEYS_eval = ["tile_size", "workers", "batch_size", "compute_dtype",
                                      # "mean" (default) | "median"
                      "serving_preset"]  # named knob bundle: "parity"
                                      # (default: reference tiling, tta off)
-                                     # | "accuracy" (the measured round-4
-                                     # grid recommendation — stride
-                                     # 3*tile/4 + tta 4: full TTA-4 gain at
-                                     # 1.43x parity wall time, BASELINE.md).
+                                     # | "throughput" (stride 3*tile/4,
+                                     # tta off: 0.61x parity wall time at
+                                     # +0.08 cm — round-4 grid cell)
+                                     # | "accuracy" (stride 3*tile/4 +
+                                     # tta 4: full TTA-4 gain at 1.43x
+                                     # parity wall time, BASELINE.md).
                                      # Explicit tile_stride/tta keys
                                      # override the preset's members.
 OUTPUT_KEYS_eval = ["directory"]
@@ -137,7 +139,7 @@ ACTIVATION_FUNCTIONS = ["relu", "lrelu", "prelu"]
 UPSAMPLING_MODES = ["transpose", "bilinear"]
 ALLOCATION_STRATEGIES = ["5-crossval_vertical", "5-crossval_horizontal", "entire"]
 COMPUTE_DTYPES = ["float32", "bfloat16", "mixed", "balanced", "balanced16"]
-SERVING_PRESETS = ["parity", "accuracy"]
+SERVING_PRESETS = ["parity", "throughput", "accuracy"]
 TRAIN_PRECISIONS = ["high", "default", "highest", "balanced", "balanced16"]
 
 

@@ -246,14 +246,16 @@ def _valid_general_args(cfg, logger) -> bool:
         if not in_enum(general.serving_preset, schema.SERVING_PRESETS,
                        "serving_preset", logger):
             error = True
-        elif general.serving_preset == "accuracy":
-            # The measured accuracy mode (BASELINE.md round-4 TTA x stride
-            # grid): stride 3*tile/4 + tta 4 — full TTA-4 gain at 1.43x
-            # parity wall time. Explicit keys override preset members.
+        elif general.serving_preset in ("accuracy", "throughput"):
+            # Measured modes (BASELINE.md round-4 TTA x stride grid):
+            # accuracy = stride 3*tile/4 + tta 4 (full TTA-4 gain at 1.43x
+            # parity wall); throughput = stride 3*tile/4, tta off (0.61x
+            # wall at +0.08 cm). Explicit keys override preset members.
             overridden = [k for k in ("tile_stride", "tta") if k in general]
             if overridden:
-                logger.info(f"serving_preset 'accuracy': explicit "
-                            f"{overridden} override the preset's members.\n")
+                logger.info(f"serving_preset {general.serving_preset!r}: "
+                            f"explicit {overridden} override the preset's "
+                            f"members.\n")
     if "data_parallel" in general and not is_boolean(general.data_parallel,
                                                      "data_parallel", logger):
         error = True

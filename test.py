@@ -157,17 +157,19 @@ def main() -> None:
     # Opt-in dihedral test-time augmentation (1 = off, reference parity).
     tta = int(cfg.general.get("tta", 1))
     tta_merge = cfg.general.get("tta_merge", "mean")
-    # Named knob bundle: 'accuracy' = the measured round-4 grid
-    # recommendation (BASELINE.md "Round-4 joint TTA x tile_stride grid"):
-    # stride 3*tile/4 + TTA-4 mean — the full TTA-4 gain at 1.43x parity
-    # wall time. Explicit tile_stride/tta keys override preset members
-    # (validator logs the override); 'parity' (default) changes nothing.
-    if cfg.general.get("serving_preset", "parity") == "accuracy":
+    # Named knob bundles from the measured round-4 TTA x stride grid
+    # (BASELINE.md): 'accuracy' = stride 3*tile/4 + TTA-4 mean (full TTA-4
+    # gain at 1.43x parity wall); 'throughput' = stride 3*tile/4, tta off
+    # (0.61x parity wall at +0.08 cm). Explicit tile_stride/tta keys
+    # override preset members (validator logs the override); 'parity'
+    # (default) changes nothing.
+    preset = cfg.general.get("serving_preset", "parity")
+    if preset in ("accuracy", "throughput"):
         if tile_stride is None:
             tile_stride = (cfg.general.tile_size * 3) // 4
-        if "tta" not in cfg.general:
+        if preset == "accuracy" and "tta" not in cfg.general:
             tta = 4
-        logger.info(f"serving_preset 'accuracy': tile_stride={tile_stride}, "
+        logger.info(f"serving_preset {preset!r}: tile_stride={tile_stride}, "
                     f"tta={tta}, tta_merge={tta_merge}")
     # Tile batches shard over every available chip; each device accumulates a
     # partial scene and one psum over ICI merges them (infer/tiled.py).

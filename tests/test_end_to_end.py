@@ -899,6 +899,12 @@ def test_serving_preset_accuracy_matches_explicit_knobs(make_geotiff,
     preset = evaluate("preset", {"serving_preset": "accuracy"})
     np.testing.assert_array_equal(preset, explicit)
 
+    # 'throughput' preset == explicit stride-only knobs (tta stays off)
+    explicit_tp = evaluate("explicit_tp", {"tile_stride": 12})
+    preset_tp = evaluate("preset_tp", {"serving_preset": "throughput"})
+    np.testing.assert_array_equal(preset_tp, explicit_tp)
+    assert not np.array_equal(preset_tp, preset)  # tta-4 vs tta-off differ
+
     # the preset changes the output vs parity tiling (i.e. it is not a no-op)
     parity = evaluate("parity", {})
     assert not np.array_equal(preset, parity)
