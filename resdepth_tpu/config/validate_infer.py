@@ -251,7 +251,10 @@ def _valid_general_args(cfg, logger) -> bool:
             # accuracy = stride 3*tile/4 + tta 4 (full TTA-4 gain at 1.43x
             # parity wall); throughput = stride 3*tile/4, tta off (0.61x
             # wall at +0.08 cm). Explicit keys override preset members.
-            overridden = [k for k in ("tile_stride", "tta") if k in general]
+            members = (("tile_stride", "tta")
+                       if general.serving_preset == "accuracy"
+                       else ("tile_stride",))  # throughput sets stride only
+            overridden = [k for k in members if k in general]
             if overridden:
                 logger.info(f"serving_preset {general.serving_preset!r}: "
                             f"explicit {overridden} override the preset's "

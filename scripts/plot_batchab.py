@@ -39,8 +39,16 @@ def main() -> None:
     fig.patch.set_facecolor("#fcfcfb")
     ax.set_facecolor("#fcfcfb")
     for label, color, pattern in ARMS:
-        runs = sorted((json.load(open(f)) for f in glob.glob(pattern)),
-                      key=lambda r: r["seed"])
+        files = glob.glob(pattern)
+        if not files:
+            raise SystemExit(f"ERROR: no runs match {pattern!r} — the "
+                             f"'{label}' arm would silently vanish from a "
+                             "figure titled '3 seeds/arm'.")
+        runs = []
+        for f in files:
+            with open(f) as fh:
+                runs.append(json.load(fh))
+        runs.sort(key=lambda r: r["seed"])
         for i, r in enumerate(runs):
             ax.plot([e for e, _ in r["val_curve"]],
                     [v for _, v in r["val_curve"]], color=color,

@@ -259,7 +259,8 @@ def measure(config, batch: int, mode: str, k: int = 8,
     def window(state):
         t0 = time.perf_counter()
         state, m = step(state, *a)
-        val = float(np.asarray(m)[-1])
+        # K>1 returns a (K,) metric vector, K=1 a scalar — reshape covers both
+        val = float(np.asarray(m).reshape(-1)[-1])
         if not np.isfinite(val):
             raise RuntimeError(f"non-finite loss {val}")
         return state, time.perf_counter() - t0
